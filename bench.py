@@ -1,0 +1,83 @@
+"""Benchmark: frames/s/chip of the fused SLAM step at full sensor resolution.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Baseline: the reference processes Oxford full_seq_1 at ~0.8-1.2 frames/s on an
+i7-8650U (raw-roam.pdf p.5 §IV; BASELINE.md) — we use 1.0 fps as the divisor.
+The benchmark drives the *device* pipeline (polar->cart warp, DoH+ANMS on
+keyframe frames, KLT, clique rejection, rigid fit, motion-distortion LM,
+keyframe/map update) on synthetic full-resolution scans rendered from a world
+landmark model along a curved trajectory, so keyframe branches are genuinely
+exercised.  Host PNG decode is excluded here (measured separately; overlapped
+by the prefetcher in the real driver).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from radarslampy_tpu.config import SlamConfig
+    from radarslampy_tpu.models import frontend
+    from radarslampy_tpu.ops.grid import build_grid_maps
+    from radarslampy_tpu.sim import fakedata as fd
+
+    cfg = SlamConfig()
+    maps = build_grid_maps(cfg)
+    rng = np.random.default_rng(0)
+
+    # synthetic curved trajectory at realistic speed (~10 m/s, 4 Hz)
+    n_warm, n_meas = 4, 40
+    T = n_warm + n_meas
+    poses = np.zeros((T, 3))
+    v, w = 10.0 * cfg.scan_period_s, 0.03
+    for t in range(1, T):
+        th = poses[t - 1, 2]
+        poses[t] = poses[t - 1] + [v * np.cos(th), v * np.sin(th), w]
+
+    world_pts, world_refl = fd.make_world(rng, n_landmarks=3000, extent_m=250.0)
+    scans = [
+        jnp.asarray(
+            fd.render_polar_scan(world_pts, world_refl, p, cfg, rng=rng, noise=0.02)
+        )
+        for p in poses
+    ]
+
+    state = jax.jit(lambda p: frontend.init_state(p, jnp.zeros(3), maps, cfg))(scans[0])
+    step = jax.jit(
+        lambda s, p: frontend.slam_step(s, p, maps, cfg), donate_argnums=(0,)
+    )
+
+    # warmup + compile
+    for i in range(1, n_warm + 1):
+        state, out = step(state, scans[i])
+    jax.block_until_ready(out.pose)
+
+    t0 = time.perf_counter()
+    for i in range(n_warm + 1, T):
+        state, out = step(state, scans[i])
+    jax.block_until_ready(out.pose)
+    dt = time.perf_counter() - t0
+
+    fps = n_meas / dt
+    print(
+        json.dumps(
+            {
+                "metric": "frames/s/chip (fused SLAM step, 400x2025 polar -> 2048^2 cart)",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 1.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

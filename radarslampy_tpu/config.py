@@ -1,0 +1,116 @@
+"""Single frozen configuration for the whole TPU radar-SLAM framework.
+
+The reference scatters tuning constants over module globals (see SURVEY.md §5.6:
+`parseData.py:9-14`, `getFeatures.py:13-18,57-63`, `getTransformKLT.py:77-84`,
+`outlierRejection.py:10`, `Mapping.py:13-15`, `motionDistortion.py:36`, `FMT.py:10-11`),
+with two desynced copies of N_FEATURES_BEFORE_RETRACK (60 vs 80).  Here everything is
+one immutable dataclass so jitted functions can close over static values and nothing
+recompiles behind your back.
+
+All shapes are static: feature sets are padded to `k_max` with validity masks, blob
+candidates to `n_candidates`, map keyframes to `max_keyframes`.  This is the core
+TPU-first inversion of the reference's variable-length arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    # ---- sensor geometry (parseData.py:9-14,36; data/full_seq_1/INFO.md) ----
+    num_azimuths: int = 400
+    num_range_bins: int = 3768          # full bins in the raw PNG (cols 11+)
+    range_resolution_m: float = 0.0432  # metres per range bin
+    max_range_clip_m: float = 87.5      # paper's clip; 2025 bins
+    encoder_size: int = 5600            # azimuth encoder ticks per rev
+    scan_frequency_hz: float = 4.0      # Navtech CTS350-X frame rate
+
+    # ---- Cartesian grid (parseData.py:100-135 behaviour, TPU-aligned sizes) ----
+    cart_downsample: int = 2            # range bins per Cartesian pixel
+    cart_size: int = 2048               # cart image is cart_size x cart_size (128-aligned)
+
+    # ---- feature detection: DoH scale space (getFeatures.py:13-18) ----
+    doh_sigmas: tuple = (1.0, 5.0, 10.0)  # reference: linspace(0.01,10,3); sigma<1 is a no-op blur
+    doh_threshold: float = 5e-4
+    n_candidates: int = 1024            # padded candidate blobs before ANMS
+    anms_grid: int = 24                 # ANMS cell grid (anms_grid^2 cells)
+    anms_top_k: int = 200               # spatially-uniform keypoints kept (getFeatures.py:66)
+
+    # ---- tracked feature set ----
+    k_max: int = 256                    # padded tracked-feature capacity
+    n_features_before_retrack: int = 80 # refill threshold (paper p.4: 80)
+
+    # ---- KLT tracking (getTransformKLT.py:77-84,343) ----
+    klt_window: int = 15                # patch side (odd)
+    klt_pyramid_levels: int = 4         # maxLevel=3 => 4 levels
+    klt_iters: int = 10
+    klt_eps: float = 0.03
+    klt_err_threshold: float = 10.0     # mean abs patch residual gate
+
+    # ---- outlier rejection (outlierRejection.py:10-13) ----
+    clique_dist_threshold_m: float = 0.5
+
+    # ---- motion-distortion solver (motionDistortion.py:36-99; RawROAMSystem.py:135-139) ----
+    mds_sigma_p: tuple = (4.0, 4.0)                       # px^2 point covariance diag
+    mds_sigma_v: tuple = (1.0, 1.0, (5.0 * math.pi / 180.0) ** 2)
+    mds_iterations: int = 12            # fixed LM iteration budget (jit-friendly)
+    mds_init_lambda: float = 1e-4
+
+    # ---- keyframing (Mapping.py:13-15) ----
+    kf_rot_threshold_rad: float = 0.2
+    kf_trans_threshold_m: float = 2.0
+    max_keyframes: int = 1024           # preallocated map capacity
+
+    # ---- FMT rotation estimate (FMT.py:10-11) ----
+    fmt_range_clip_m: float = 87.5
+    fmt_downsample: int = 10
+    use_fmt: bool = False               # reference computes-but-ignores; we gate it
+
+    # ---- pose graph / BA ----
+    pg_iterations: int = 20
+    pg_huber_delta: float = 1.0
+
+    # ---- point cloud per keyframe (getPointCloud.py:28-52) ----
+    pc_peaks_per_azimuth: int = 8       # padded peaks kept per azimuth
+
+    # ---- compute dtypes ----
+    image_dtype: str = "float32"        # radar images are low-precision; bf16 optional
+
+    # ------------------------------------------------------------------ derived
+    @property
+    def clipped_range_bins(self) -> int:
+        """Range bins kept after clipping to max_range_clip_m (parseData.py:49-51)."""
+        return int(self.max_range_clip_m / self.range_resolution_m)
+
+    @property
+    def polar_width_padded(self) -> int:
+        """Clipped polar width padded up to a lane multiple (128)."""
+        return _round_up(self.clipped_range_bins, 128)
+
+    @property
+    def cart_resolution_m(self) -> float:
+        """Metres per Cartesian pixel (parseData.py:13)."""
+        return self.range_resolution_m * self.cart_downsample
+
+    @property
+    def cart_center(self) -> float:
+        """Pixel coordinate of the sensor in the Cartesian image (both axes)."""
+        return self.cart_size / 2.0
+
+    @property
+    def clique_dist_threshold_px(self) -> float:
+        return self.clique_dist_threshold_m / self.cart_resolution_m
+
+    @property
+    def scan_period_s(self) -> float:
+        return 1.0 / self.scan_frequency_hz
+
+
+DEFAULT_CONFIG = SlamConfig()

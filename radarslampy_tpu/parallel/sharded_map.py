@@ -1,0 +1,97 @@
+"""Sharded keyframe map store — the distributed back-end state.
+
+The reference's `Map` is a Python list of keyframe objects (`Mapping.py:128-182`).
+The TPU-native store is already dense (`frontend.MapState`); this module places
+it on a mesh with the keyframe axis partitioned, so map queries (nearest
+keyframes for loop closure, global point gathers for visualisation/BA) run as
+sharded computations with `psum`/`all_gather` collectives instead of Python
+loops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from radarslampy_tpu.models.frontend import MapState
+from radarslampy_tpu.parallel.mesh import KF_AXIS
+
+
+def shard_map_state(m: MapState, mesh: Mesh) -> MapState:
+    """Place the map on the mesh: keyframe axis sharded, cursor replicated."""
+    kf = NamedSharding(mesh, P(KF_AXIS))
+    kf2 = NamedSharding(mesh, P(KF_AXIS, None))
+    kf3 = NamedSharding(mesh, P(KF_AXIS, None, None))
+    rep = NamedSharding(mesh, P())
+    return MapState(
+        poses=jax.device_put(m.poses, kf2),
+        feat_world=jax.device_put(m.feat_world, kf3),
+        feat_mask=jax.device_put(m.feat_mask, kf2),
+        velocities=jax.device_put(m.velocities, kf2),
+        cursor=jax.device_put(m.cursor, rep),
+    )
+
+
+def nearest_keyframes(m: MapState, query_pose, k: int, mesh: Mesh,
+                      min_index_gap: int = 0, exclude_after: int | None = None):
+    """Top-k nearest live keyframes to `query_pose` — loop-closure candidates.
+
+    Runs sharded: each device scores its keyframe shard, results are
+    all-gathered (k is tiny).  Returns (indices [k], distances [k], valid [k]).
+    """
+    M = m.poses.shape[0]
+    n = mesh.shape[KF_AXIS]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(KF_AXIS, None), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def score(poses, q, cursor):
+        shard = poses.shape[0]
+        me = jax.lax.axis_index(KF_AXIS)
+        gidx = me * shard + jnp.arange(shard)
+        live = gidx < cursor
+        if exclude_after is not None:
+            live = live & (gidx < exclude_after)
+        d = jnp.linalg.norm(poses[:, :2] - q[:2], axis=1)
+        d = jnp.where(live, d, jnp.inf)
+        # gather all shards' distances+indices, top-k on every device (replicated)
+        d_all = jax.lax.all_gather(d, KF_AXIS, tiled=True)
+        i_all = jax.lax.all_gather(gidx, KF_AXIS, tiled=True)
+        vals, pos = jax.lax.top_k(-d_all, k)
+        return i_all[pos], -vals
+
+    idx, dist = jax.jit(score)(m.poses, jnp.asarray(query_pose), m.cursor)
+    return idx, dist, jnp.isfinite(dist)
+
+
+def global_map_points(m: MapState, mesh: Mesh):
+    """All live keyframes' feature world positions, all-gathered.
+
+    Replaces `Map.plot`'s Python loop over keyframes (`Mapping.py:184-206`).
+    Returns (points [M*K, 2], mask [M*K]).
+    """
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(KF_AXIS, None, None), P(KF_AXIS, None), P()),
+        out_specs=(P(KF_AXIS, None), P(KF_AXIS)),
+        check_vma=False,
+    )
+    def gather(fw, fm, cursor):
+        shard, K = fm.shape
+        me = jax.lax.axis_index(KF_AXIS)
+        gidx = me * shard + jnp.arange(shard)
+        live = (gidx < cursor)[:, None] & fm
+        return fw.reshape(shard * K, 2), live.reshape(shard * K)
+
+    pts, mask = jax.jit(gather)(m.feat_world, m.feat_mask, m.cursor)
+    return pts, mask

