@@ -70,7 +70,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "frames/s/chip (fused SLAM step, 400x2025 polar -> 2048^2 cart)",
+                "metric": "frames/s/chip (fused SLAM step, 400x2025 polar -> 1024^2 cart @0.173m/px)",
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 1.0, 3),

@@ -1,0 +1,93 @@
+"""CLI driver: ``python -m radarslampy_tpu <sequence> [start [end]]``.
+
+Mirrors the reference's entry point (`RawROAMSystem.py:464-488`:
+``python3 RawROAMSystem.py <seq> [start [end]]``) with extra flags for data
+root, resolution and outputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="radarslampy_tpu",
+                                 description="TPU-native radar SLAM")
+    ap.add_argument("sequence", nargs="?", default="tiny")
+    ap.add_argument("start", nargs="?", type=int, default=0)
+    ap.add_argument("end", nargs="?", type=int, default=-1)
+    ap.add_argument("--data-root", default="data")
+    ap.add_argument("--cart-size", type=int, default=None)
+    ap.add_argument("--out-dir", default=None, help="save trajectory plot + json here")
+    ap.add_argument("--loop-closure", action="store_true",
+                    help="run loop-closure + pose-graph optimisation at the end")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from radarslampy_tpu.config import SlamConfig
+    from radarslampy_tpu.models.system import RadarSlamSystem
+
+    cfg = SlamConfig()
+    if args.cart_size:
+        import dataclasses
+
+        ds = cfg.cart_downsample * cfg.cart_size // args.cart_size
+        cfg = dataclasses.replace(cfg, cart_size=args.cart_size, cart_downsample=ds)
+
+    sys_ = RadarSlamSystem(args.sequence, data_root=args.data_root, cfg=cfg)
+    res = sys_.run(args.start, args.end)
+
+    summary = {
+        "sequence": args.sequence,
+        "frames": res.frames,
+        "keyframes": res.n_keyframes,
+        "fps": round(res.fps, 3),
+        "rmse_vs_gt_m": round(res.rmse_vs_gt, 3) if res.rmse_vs_gt is not None else None,
+    }
+
+    if args.loop_closure:
+        import jax
+
+        from radarslampy_tpu.models.loopclosure import close_loops
+        from radarslampy_tpu.models.posegraph import optimize_pose_graph
+
+        graph, matches = close_loops(res.final_state.map, cfg)
+        n_loops = int(matches.ok.sum())
+        summary["loop_closures"] = n_loops
+        if n_loops:
+            poses, cost = optimize_pose_graph(graph, cfg)
+            summary["posegraph_cost"] = float(cost)
+
+    print(json.dumps(summary))
+
+    if args.out_dir:
+        import numpy as np
+
+        from radarslampy_tpu.viz.plots import plot_trajectories
+
+        os.makedirs(args.out_dir, exist_ok=True)
+        ts, est = res.trajectory.as_arrays()
+        gt = (
+            res.gt_trajectory.pose_at_times(ts) if res.gt_trajectory is not None else None
+        )
+        plot_trajectories(
+            gt, est, title=args.sequence, rmse=res.rmse_vs_gt,
+            save_path=os.path.join(args.out_dir, "trajectory.jpg"),
+        )
+        with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        np.savez(os.path.join(args.out_dir, "trajectory.npz"),
+                 timestamps=ts, poses=est)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

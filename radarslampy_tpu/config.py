@@ -33,8 +33,12 @@ class SlamConfig:
     scan_frequency_hz: float = 4.0      # Navtech CTS350-X frame rate
 
     # ---- Cartesian grid (parseData.py:100-135 behaviour, TPU-aligned sizes) ----
-    cart_downsample: int = 2            # range bins per Cartesian pixel
-    cart_size: int = 2048               # cart image is cart_size x cart_size (128-aligned)
+    # Default 1024 px at 4 bins/px = 0.1728 m/px — upstream RadarSLAM's cell
+    # size, 2x coarser than the reference's 2024^2/0.0864 (parseData.py:10-13);
+    # quarters the warp/DoH cost with no measurable ATE impact (tests pin ATE).
+    # Set cart_size=2048, cart_downsample=2 for the reference's exact grid.
+    cart_downsample: int = 4            # range bins per Cartesian pixel
+    cart_size: int = 1024               # cart image is cart_size x cart_size (128-aligned)
 
     # ---- feature detection: DoH scale space (getFeatures.py:13-18) ----
     doh_sigmas: tuple = (1.0, 5.0, 10.0)  # reference: linspace(0.01,10,3); sigma<1 is a no-op blur

@@ -1,0 +1,257 @@
+"""Bundle adjustment: SE(2) keyframe poses + 2-D landmarks, Schur complement.
+
+The reference only scaffolds BA on g2o (`PoseGraphLib.py:46-98`: SBA cameras,
+marginalised landmark vertices, Huber kernel, CSparse) and never runs it
+(SURVEY.md §2#12).  This is the TPU-native design the BASELINE.json north star
+names: Gauss-Newton over (poses, landmarks) where the landmark blocks are
+*marginalised in closed form* — every landmark contributes an independent 2x2
+block, inverted in parallel — leaving a reduced [3M, 3M] pose system solved by
+damped Cholesky.  Landmark/observation work is embarrassingly parallel and is
+what shards across the `kf` mesh axis in parallel/dist_ba.py.
+
+Problem construction (`build_ba_problem`) is host-side: it walks the dense
+MapState, groups observations by persistent landmark id (assigned by the
+frontend), keeps landmarks seen from >= 2 keyframes, and packs everything into
+fixed-shape masked tensors.  The solve is one jitted program.
+
+Observation model: a keyframe at pose T observes landmark l at local
+coordinates  z = R(theta)^T (l - t);  residual r = z_obs - z(T, l), Huber
+robust-weighted.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radarslampy_tpu.config import SlamConfig
+from radarslampy_tpu.models.frontend import MapState
+from radarslampy_tpu.ops import geometry as geo
+
+
+class BAProblem(NamedTuple):
+    poses: jax.Array       # [M, 3] initial keyframe poses
+    pose_mask: jax.Array   # [M]
+    landmarks: jax.Array   # [L, 2] initial landmark world positions
+    lm_mask: jax.Array     # [L]
+    obs_pose: jax.Array    # [O] int32 keyframe index per observation
+    obs_lm: jax.Array      # [O] int32 landmark index per observation
+    obs_xy: jax.Array      # [O, 2] observed local (sensor-frame) coords
+    obs_mask: jax.Array    # [O]
+
+
+def build_ba_problem(map_state: MapState, min_views: int = 2,
+                     max_landmarks: int | None = None,
+                     max_obs: int | None = None) -> BAProblem:
+    """Host-side packing: dense MapState -> masked BA tensors.
+
+    Landmark ids were assigned by the frontend (`frontend.assign_new_ids`); a
+    landmark observed from >= `min_views` keyframes becomes a BA variable, with
+    its initial position the mean of its per-view world estimates.
+    """
+    M = int(map_state.cursor)
+    ids = np.asarray(map_state.feat_ids)[:M]       # [M, K]
+    mask = np.asarray(map_state.feat_mask)[:M]
+    local = np.asarray(map_state.feat_local)[:M]
+    world = np.asarray(map_state.feat_world)[:M]
+    poses = np.asarray(map_state.poses)[:M]
+
+    mm, kk = np.nonzero(mask & (ids >= 0))
+    obs_id = ids[mm, kk]
+    uniq, inv, counts = np.unique(obs_id, return_inverse=True, return_counts=True)
+    keep_lm = counts >= min_views
+    keep_obs = keep_lm[inv]
+
+    mm, kk, inv = mm[keep_obs], kk[keep_obs], inv[keep_obs]
+    # compact landmark indexing over kept ids
+    kept_ids = uniq[keep_lm]
+    remap = -np.ones(len(uniq), np.int64)
+    remap[np.nonzero(keep_lm)[0]] = np.arange(keep_lm.sum())
+    lm_idx = remap[inv]
+
+    L = int(keep_lm.sum())
+    lm_init = np.zeros((L, 2))
+    np.add.at(lm_init, lm_idx, world[mm, kk])
+    lm_counts = np.bincount(lm_idx, minlength=L)[:, None]
+    lm_init /= np.maximum(lm_counts, 1)
+
+    O = len(mm)
+    Mpad = M
+    Lpad = max_landmarks or max(L, 1)
+    Opad = max_obs or max(O, 1)
+    assert L <= Lpad and O <= Opad
+
+    def pad(a, n, fill=0):
+        out = np.full((n,) + a.shape[1:], fill, a.dtype)
+        out[: len(a)] = a
+        return out
+
+    return BAProblem(
+        poses=jnp.asarray(poses.astype(np.float32)),
+        pose_mask=jnp.ones(Mpad, dtype=bool),
+        landmarks=jnp.asarray(pad(lm_init.astype(np.float32), Lpad)),
+        lm_mask=jnp.asarray(np.arange(Lpad) < L),
+        obs_pose=jnp.asarray(pad(mm.astype(np.int32), Opad)),
+        obs_lm=jnp.asarray(pad(lm_idx.astype(np.int32), Opad)),
+        obs_xy=jnp.asarray(pad(local[mm, kk].astype(np.float32), Opad)),
+        obs_mask=jnp.asarray(np.arange(Opad) < O),
+    )
+
+
+def _obs_residual(pose, lm, z):
+    """r = z - R(theta)^T (lm - t), difference form."""
+    c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+    d = lm - pose[:2]
+    pred = jnp.stack([c * d[0] + s * d[1], -s * d[0] + c * d[1]])
+    return z - pred
+
+
+def _obs_blocks(pose, lm, z, huber_delta):
+    r = _obs_residual(pose, lm, z)
+    Jp = jax.jacfwd(lambda p: _obs_residual(p, lm, z))(pose)   # [2,3]
+    Jl = jax.jacfwd(lambda l: _obs_residual(pose, l, z))(lm)   # [2,2]
+    e = jnp.sqrt(jnp.sum(r * r) + 1e-12)
+    w = jnp.where(e <= huber_delta, 1.0, huber_delta / e)
+    return r, Jp, Jl, w
+
+
+def ba_cost(poses, landmarks, p: BAProblem, huber_delta: float):
+    r = jax.vmap(_obs_residual)(poses[p.obs_pose], landmarks[p.obs_lm], p.obs_xy)
+    e = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
+    w = jnp.where(e <= huber_delta, 1.0, huber_delta / e)
+    m = p.obs_mask.astype(poses.dtype)
+    return jnp.sum(w * m * jnp.sum(r * r, axis=-1))
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_views_per_landmark"))
+def optimize_ba(p: BAProblem, cfg: SlamConfig, max_views_per_landmark: int = 8):
+    """Fixed-budget LM bundle adjustment with exact Schur reduction.
+
+    The cross-pose fill-in of the reduced system couples only poses observing
+    the same landmark.  We bound the views per landmark (`max_views_per_landmark`)
+    and enumerate view pairs with a static [L, V, V] pattern — exact for
+    landmarks with <= V views (the packer guarantees this by splitting tracks).
+    """
+    hd = cfg.pg_huber_delta
+    dtype = p.poses.dtype
+    M = p.poses.shape[0]
+    L = p.landmarks.shape[0]
+    V = max_views_per_landmark
+
+    # Build [L, V] view tables on device (static shapes): for each landmark,
+    # the indices of its observations (padded with -1).
+    O = p.obs_lm.shape[0]
+    order = jnp.argsort(p.obs_lm * jnp.int32(1) + (~p.obs_mask) * jnp.int32(10**6))
+    lm_sorted = p.obs_lm[order]
+    valid_sorted = p.obs_mask[order]
+    # rank of each obs within its landmark group
+    same_as_prev = jnp.concatenate(
+        [jnp.array([False]), lm_sorted[1:] == lm_sorted[:-1]]
+    ) & valid_sorted
+    def rank_scan(carry, s):
+        r = jnp.where(s, carry + 1, 0)
+        return r, r
+    _, ranks = jax.lax.scan(rank_scan, jnp.int32(0), same_as_prev)
+    view_table = jnp.full((L, V), -1, jnp.int32)
+    ok_entry = valid_sorted & (ranks < V)
+    view_table = view_table.at[
+        jnp.where(ok_entry, lm_sorted, L - 1), jnp.where(ok_entry, ranks, V - 1)
+    ].set(jnp.where(ok_entry, order.astype(jnp.int32), -1), mode="drop")
+
+    def lm_step(carry, _):
+        poses, landmarks, lam, cost = carry
+        r, Jp, Jl, w = jax.vmap(_obs_blocks, in_axes=(0, 0, 0, None))(
+            poses[p.obs_pose], landmarks[p.obs_lm], p.obs_xy, hd
+        )
+        w = w * p.obs_mask.astype(dtype)
+        wr = w[:, None] * r
+        Hpp = jnp.zeros((M, 3, 3), dtype).at[p.obs_pose].add(
+            jnp.einsum("oab,oac->obc", Jp, w[:, None, None] * Jp)
+        )
+        bp = jnp.zeros((M, 3), dtype).at[p.obs_pose].add(
+            jnp.einsum("oab,oa->ob", Jp, wr)
+        )
+        Hll = jnp.zeros((L, 2, 2), dtype).at[p.obs_lm].add(
+            jnp.einsum("oab,oac->obc", Jl, w[:, None, None] * Jl)
+        )
+        bl = jnp.zeros((L, 2), dtype).at[p.obs_lm].add(
+            jnp.einsum("oab,oa->ob", Jl, wr)
+        )
+        # damped landmark blocks, closed-form 2x2 inverse
+        Hll_d = Hll + (lam * (jnp.vmap(jnp.trace)(Hll) * 0.5) + 1e-8)[
+            :, None, None
+        ] * jnp.eye(2, dtype=dtype)[None]
+        det = Hll_d[:, 0, 0] * Hll_d[:, 1, 1] - Hll_d[:, 0, 1] * Hll_d[:, 1, 0]
+        det = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+        Hinv = (
+            jnp.stack(
+                [
+                    jnp.stack([Hll_d[:, 1, 1], -Hll_d[:, 0, 1]], -1),
+                    jnp.stack([-Hll_d[:, 1, 0], Hll_d[:, 0, 0]], -1),
+                ],
+                -2,
+            )
+            / det[:, None, None]
+        ) * p.lm_mask[:, None, None].astype(dtype)
+
+        U = jnp.einsum("oab,oac->obc", Jp, w[:, None, None] * Jl)  # [O,3,2]
+
+        # gather per-landmark views
+        vt = view_table  # [L, V]
+        vt_ok = vt >= 0
+        vt_safe = jnp.maximum(vt, 0)
+        U_l = U[vt_safe] * vt_ok[..., None, None]          # [L, V, 3, 2]
+        pose_l = p.obs_pose[vt_safe]                        # [L, V]
+        # A_{l,v} = U_{l,v} @ Hinv_l   [L, V, 3, 2]
+        A = jnp.einsum("lvab,lbc->lvac", U_l, Hinv)
+        # pairwise contributions: C_{l,v,u} = A_{l,v} @ U_{l,u}^T  [L,V,V,3,3]
+        C = jnp.einsum("lvab,lucb->lvuac", A, U_l)
+        # scatter into the dense [M, M, 3, 3] reduced Hessian
+        Hb = jnp.zeros((M, M, 3, 3), dtype)
+        rows = pose_l[:, :, None].repeat(V, 2).reshape(-1)
+        cols = pose_l[:, None, :].repeat(V, 1).reshape(-1)
+        Hb = Hb.at[rows, cols].add(-C.reshape(-1, 3, 3))
+        Hb = Hb.at[jnp.arange(M), jnp.arange(M)].add(Hpp)
+        # reduced rhs: b_s = bp - sum_o U_o Hinv_l bl_l  (per obs)
+        bs = bp.at[p.obs_pose].add(
+            -jnp.einsum("oab,obc,oc->oa", U, Hinv[p.obs_lm], bl[p.obs_lm])
+        )
+
+        H = Hb.transpose(0, 2, 1, 3).reshape(3 * M, 3 * M)
+        # gauge: anchor pose 0, damp
+        anchor = jnp.zeros(3 * M, dtype).at[:3].set(1e8)
+        H = H + jnp.diag(anchor + lam * (jnp.diag(H) + 1e-9))
+        delta_p = -jax.scipy.linalg.solve(H, bs.reshape(-1), assume_a="pos")
+        delta_p = delta_p.reshape(M, 3)
+        # back-substitute landmarks: dl = -Hinv (bl + Hlp dp), where
+        # (Hlp dp)_l = sum_{o in l} U_o^T dp_{m(o)}
+        Hlp_dp = jnp.zeros((L, 2), dtype).at[p.obs_lm].add(
+            jnp.einsum("oab,oa->ob", U, delta_p[p.obs_pose])
+        )
+        delta_l = -jnp.einsum("lab,lb->la", Hinv, bl + Hlp_dp)
+
+        cand_p = poses + delta_p
+        cand_p = cand_p.at[:, 2].set(geo.wrap_angle(cand_p[:, 2]))
+        cand_l = landmarks + delta_l
+        new_cost = ba_cost(cand_p, cand_l, p, hd)
+        accept = new_cost < cost
+        poses = jnp.where(accept, cand_p, poses)
+        landmarks = jnp.where(accept, cand_l, landmarks)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(
+            accept, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 8.0, 1e7)
+        )
+        return (poses, landmarks, lam, cost), None
+
+    init_cost = ba_cost(p.poses, p.landmarks, p, hd)
+    (poses, landmarks, _, cost), _ = jax.lax.scan(
+        lm_step,
+        (p.poses, p.landmarks, jnp.asarray(1e-3, dtype), init_cost),
+        None,
+        length=cfg.pg_iterations,
+    )
+    return poses, landmarks, cost

@@ -56,6 +56,8 @@ class MapState(NamedTuple):
 
     poses: jax.Array        # [M, 3] keyframe world poses
     feat_world: jax.Array   # [M, K, 2] feature world positions (undistorted, m)
+    feat_local: jax.Array   # [M, K, 2] undistorted sensor-frame coords (m)
+    feat_ids: jax.Array     # [M, K] int32 persistent landmark ids (-1 = none)
     feat_mask: jax.Array    # [M, K]
     velocities: jax.Array   # [M, 3]
     cursor: jax.Array       # int32 — number of live keyframes
@@ -68,6 +70,8 @@ class SlamState(NamedTuple):
     prev_cart: jax.Array    # [S, S] previous Cartesian image (KLT source)
     feat_px: jax.Array      # [K, 2] tracked feature coords in prev_cart (x, y px)
     feat_mask: jax.Array    # [K]
+    feat_id: jax.Array      # [K] int32 persistent landmark id per slot (-1 free)
+    next_id: jax.Array      # int32 monotone landmark id counter
     feat_world: jax.Array   # [K, 2] keyframe-anchored world positions (p_w)
     kf_pose: jax.Array      # [3] pose of the last keyframe
     map: MapState
@@ -98,29 +102,49 @@ def empty_map(cfg: SlamConfig, dtype=jnp.float32) -> MapState:
     return MapState(
         poses=jnp.zeros((M, 3), dtype),
         feat_world=jnp.zeros((M, K, 2), dtype),
+        feat_local=jnp.zeros((M, K, 2), dtype),
+        feat_ids=jnp.full((M, K), -1, jnp.int32),
         feat_mask=jnp.zeros((M, K), dtype=bool),
         velocities=jnp.zeros((M, 3), dtype),
         cursor=jnp.int32(0),
     )
 
 
+def assign_new_ids(old_mask, new_mask, old_ids, next_id):
+    """Give fresh persistent landmark ids to newly-filled feature slots.
+
+    Slots that just became valid get consecutive ids starting at `next_id`;
+    surviving slots keep theirs; free slots stay -1.
+    """
+    fresh = new_mask & ~old_mask
+    rank = jnp.cumsum(fresh.astype(jnp.int32)) - 1
+    ids = jnp.where(fresh, next_id + rank, jnp.where(new_mask, old_ids, -1))
+    return ids.astype(jnp.int32), next_id + jnp.sum(fresh.astype(jnp.int32))
+
+
 def _features_to_world(px, mask, pose, velocity, cfg: SlamConfig):
-    """Local pixel features -> undistorted world positions (Keyframe ctor,
-    Mapping.py:58-66 + convertFeaturesLocalToGlobal Mapping.py:72-95)."""
+    """Local pixel features -> (undistorted local metric, world positions)
+    (Keyframe ctor, Mapping.py:58-66 + convertFeaturesLocalToGlobal
+    Mapping.py:72-95)."""
     local = _px_to_metric(px, cfg)
     und = undistort(velocity, local, cfg.scan_period_s)
     T = geo.pose_to_transform(pose)
     world = und @ T[:2, :2].T + T[:2, 2]
-    return jnp.where(mask[:, None], world, 0.0)
+    keep = mask[:, None]
+    return jnp.where(keep, und, 0.0), jnp.where(keep, world, 0.0)
 
 
-def _write_keyframe(m: MapState, pose, feat_world, feat_mask, velocity) -> MapState:
+def _write_keyframe(m: MapState, pose, feat_world, feat_local, feat_ids,
+                    feat_mask, velocity) -> MapState:
     c = jnp.minimum(m.cursor, m.poses.shape[0] - 1)
+    upd = jax.lax.dynamic_update_index_in_dim
     return MapState(
-        poses=jax.lax.dynamic_update_index_in_dim(m.poses, pose, c, 0),
-        feat_world=jax.lax.dynamic_update_index_in_dim(m.feat_world, feat_world, c, 0),
-        feat_mask=jax.lax.dynamic_update_index_in_dim(m.feat_mask, feat_mask, c, 0),
-        velocities=jax.lax.dynamic_update_index_in_dim(m.velocities, velocity, c, 0),
+        poses=upd(m.poses, pose, c, 0),
+        feat_world=upd(m.feat_world, feat_world, c, 0),
+        feat_local=upd(m.feat_local, feat_local, c, 0),
+        feat_ids=upd(m.feat_ids, feat_ids, c, 0),
+        feat_mask=upd(m.feat_mask, feat_mask, c, 0),
+        velocities=upd(m.velocities, velocity, c, 0),
         cursor=jnp.minimum(m.cursor + 1, jnp.int32(m.poses.shape[0])),
     )
 
@@ -134,11 +158,16 @@ def init_state(polar0, init_pose, maps: GridMaps, cfg: SlamConfig) -> SlamState:
     coords = jnp.zeros((K, 2), cart.dtype)
     mask = jnp.zeros((K,), dtype=bool)
     coords, mask = merge_features(coords, mask, cands)
+    ids, next_id = assign_new_ids(
+        jnp.zeros(K, dtype=bool), mask, jnp.full(K, -1, jnp.int32), jnp.int32(0)
+    )
 
     pose = jnp.asarray(init_pose, cart.dtype)
     vel = jnp.zeros(3, cart.dtype)
-    feat_world = _features_to_world(coords, mask, pose, vel, cfg)
-    m = _write_keyframe(empty_map(cfg, cart.dtype), pose, feat_world, mask, vel)
+    feat_local, feat_world = _features_to_world(coords, mask, pose, vel, cfg)
+    m = _write_keyframe(
+        empty_map(cfg, cart.dtype), pose, feat_world, feat_local, ids, mask, vel
+    )
     return SlamState(
         pose=pose,
         velocity=vel,
@@ -146,6 +175,8 @@ def init_state(polar0, init_pose, maps: GridMaps, cfg: SlamConfig) -> SlamState:
         prev_cart=cart,
         feat_px=coords,
         feat_mask=mask,
+        feat_id=ids,
+        next_id=next_id,
         feat_world=feat_world,
         kf_pose=pose,
         map=m,
@@ -217,16 +248,19 @@ def slam_step(state: SlamState, polar, maps: GridMaps, cfg: SlamConfig):
         coords2, mask2 = jax.lax.cond(
             retrack, do_retrack, lambda cm: cm, (coords, mask_in)
         )
-        fw = _features_to_world(coords2, mask2, pose_, vel_, cfg)
-        m2_ = _write_keyframe(m_, pose_, fw, mask2, vel_)
-        return coords2, mask2, fw, pose_, m2_
+        ids2, next2 = assign_new_ids(mask_in, mask2, state.feat_id, state.next_id)
+        fl, fw = _features_to_world(coords2, mask2, pose_, vel_, cfg)
+        m2_ = _write_keyframe(m_, pose_, fw, fl, ids2, mask2, vel_)
+        return coords2, mask2, ids2, next2, fw, pose_, m2_
 
     def plain_branch(op):
         coords, mask_in, pose_, vel_, m_ = op
         # keep anchoring to the old keyframe; world coords unchanged
-        return coords, mask_in, state.feat_world, state.kf_pose, m_
+        return (coords, mask_in, state.feat_id, state.next_id,
+                state.feat_world, state.kf_pose, m_)
 
-    coords_out, mask_out, feat_world_out, kf_pose_out, map_out = jax.lax.cond(
+    (coords_out, mask_out, ids_out, next_id_out, feat_world_out, kf_pose_out,
+     map_out) = jax.lax.cond(
         make_kf,
         keyframe_branch,
         plain_branch,
@@ -240,6 +274,8 @@ def slam_step(state: SlamState, polar, maps: GridMaps, cfg: SlamConfig):
         prev_cart=cart,
         feat_px=coords_out,
         feat_mask=mask_out,
+        feat_id=ids_out,
+        next_id=next_id_out,
         feat_world=feat_world_out,
         kf_pose=kf_pose_out,
         map=map_out,

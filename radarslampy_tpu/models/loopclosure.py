@@ -1,0 +1,156 @@
+"""Loop-closure detection and verification over the keyframe map.
+
+The reference never got loop closure working (g2o issues, raw-roam.pdf p.6
+"Future work"; upstream RadarSLAM's full-SLAM RMSE of 13.784 m *with* loop
+closure is the comparison bar, BASELINE.md).  This module provides it
+TPU-native:
+
+  1. candidates: keyframe pairs whose current pose estimates are close in
+     space but far apart in sequence (`find_candidates` — vectorised over the
+     dense map store; the sharded variant rides `parallel.sharded_map`).
+  2. verification: masked point-set ICP between the two keyframes' stored
+     sensor-frame feature clouds (`verify_candidate` — fixed-iteration,
+     [K,K] nearest-neighbour + weighted Procrustes, fully jitted).
+  3. accepted matches become extra pose-graph edges; `close_loops` returns a
+     PoseGraph ready for `optimize_pose_graph[_sharded]`.
+
+Identity: keyframe-local features satisfy p_i = (T_i^-1 T_j) p_j, so the ICP
+alignment *is* the relative-pose measurement the graph edge needs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radarslampy_tpu.config import SlamConfig
+from radarslampy_tpu.models.frontend import MapState
+from radarslampy_tpu.models.posegraph import PoseGraph, odometry_graph_from_map
+from radarslampy_tpu.ops import geometry as geo
+
+
+class LoopCandidate(NamedTuple):
+    i: jax.Array          # earlier keyframe index
+    j: jax.Array          # later keyframe index
+    valid: jax.Array
+
+
+class LoopMatch(NamedTuple):
+    rel_pose: jax.Array   # [3] measured T_i^-1 T_j
+    n_matches: jax.Array  # int32 matched feature pairs
+    residual: jax.Array   # mean match distance (m) after alignment
+    ok: jax.Array         # bool — passes acceptance gates
+
+
+def find_candidates(poses, cursor, max_candidates: int,
+                    radius_m: float = 10.0, min_index_gap: int = 20):
+    """Top pairs (i < j) with |p_i - p_j| < radius and j - i >= gap.
+
+    Dense [M, M] scoring; returns fixed-size masked candidate list sorted by
+    spatial distance.
+    """
+    M = poses.shape[0]
+    idx = jnp.arange(M)
+    live = idx < cursor
+    d = jnp.linalg.norm(poses[:, None, :2] - poses[None, :, :2], axis=-1)
+    gap_ok = (idx[None, :] - idx[:, None]) >= min_index_gap
+    pair_ok = live[:, None] & live[None, :] & gap_ok & (d < radius_m)
+    score = jnp.where(pair_ok, d, jnp.inf)
+    flat = score.reshape(-1)
+    vals, flat_idx = jax.lax.top_k(-flat, max_candidates)
+    i = flat_idx // M
+    j = flat_idx % M
+    return LoopCandidate(i=i.astype(jnp.int32), j=j.astype(jnp.int32),
+                         valid=jnp.isfinite(-vals))
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def icp_align(pts_i, mask_i, pts_j, mask_j, init_rel,
+              match_radius: float = 2.0, iters: int = 10) -> LoopMatch:
+    """Fixed-iteration point-to-point ICP: find rel with pts_i ~ rel(pts_j).
+
+    All [K,2] masked; NN by dense [K,K] distances (K is small).  Convergence is
+    *not* data-dependent — `iters` Procrustes refits, masked matches only.
+    """
+    K = pts_i.shape[0]
+
+    def body(rel, _):
+        T = geo.pose_to_transform(rel)
+        pj = pts_j @ T[:2, :2].T + T[:2, 2]
+        d2 = jnp.sum((pts_i[:, None, :] - pj[None, :, :]) ** 2, axis=-1)
+        d2 = jnp.where(mask_i[:, None] & mask_j[None, :], d2, jnp.inf)
+        nn = jnp.argmin(d2, axis=1)              # for each i: best j
+        nn_d2 = jnp.take_along_axis(d2, nn[:, None], axis=1)[:, 0]
+        w = (nn_d2 < match_radius**2).astype(pts_i.dtype) * mask_i
+        R, h, ok = geo.procrustes_masked(pts_i, pj[nn], w)
+        # compose the correction onto rel (3x3 product is fine: magnitudes here
+        # are the *relative* pose, already small)
+        th = jnp.arctan2(R[1, 0], R[0, 0])
+        Tn = geo.pose_to_transform(jnp.array([h[0], h[1], th])) @ T
+        new_rel = geo.transform_to_pose(Tn)
+        new_rel = jnp.where(ok, new_rel, rel)
+        return new_rel, (w, nn_d2)
+
+    rel, (w, nn_d2) = jax.lax.scan(body, jnp.asarray(init_rel), None, length=iters)
+    w_last, d2_last = jax.tree_util.tree_map(lambda x: x[-1], (w, nn_d2))
+    n = jnp.sum(w_last.astype(jnp.int32))
+    mean_res = jnp.sqrt(
+        jnp.sum(jnp.where(w_last > 0, d2_last, 0.0)) / jnp.maximum(n, 1)
+    )
+    return LoopMatch(rel_pose=rel, n_matches=n, residual=mean_res, ok=n >= 3)
+
+
+def verify_candidate(m: MapState, i, j, cfg: SlamConfig,
+                     min_matches: int = 12, max_residual_m: float = 1.0):
+    """ICP-verify one candidate pair; initial guess from current (drifted) poses."""
+    pi = m.poses[i]
+    pj = m.poses[j]
+    # conditioned relative pose guess
+    d = pj[:2] - pi[:2]
+    c0, s0 = jnp.cos(pi[2]), jnp.sin(pi[2])
+    init_rel = jnp.stack(
+        [c0 * d[0] + s0 * d[1], -s0 * d[0] + c0 * d[1],
+         geo.wrap_angle(pj[2] - pi[2])]
+    )
+    match = icp_align(
+        m.feat_local[i], m.feat_mask[i], m.feat_local[j], m.feat_mask[j],
+        init_rel,
+    )
+    ok = match.ok & (match.n_matches >= min_matches) & (
+        match.residual <= max_residual_m
+    )
+    return match._replace(ok=ok)
+
+
+def close_loops(m: MapState, cfg: SlamConfig, max_candidates: int = 16,
+                radius_m: float = 10.0, min_index_gap: int = 20,
+                loop_info=(50.0, 50.0, 200.0)) -> PoseGraph:
+    """Full loop-closure pass: candidates -> ICP verify -> pose graph with
+    odometry chain + accepted loop edges (ready to optimise)."""
+    cands = find_candidates(m.poses, m.cursor, max_candidates, radius_m,
+                            min_index_gap)
+
+    def verify_one(i, j, valid):
+        match = verify_candidate(m, i, j, cfg)
+        return match._replace(ok=match.ok & valid)
+
+    matches = jax.vmap(verify_one)(cands.i, cands.j, cands.valid)
+
+    base = odometry_graph_from_map(m.poses, m.cursor,
+                                   max_edges=m.poses.shape[0] + max_candidates)
+    E0 = m.poses.shape[0]
+    ij = base.edges_ij.at[E0:].set(
+        jnp.stack([cands.i, cands.j], axis=1)
+    )
+    meas = base.edges_meas.at[E0:].set(matches.rel_pose)
+    info = base.edges_info.at[E0:].set(
+        jnp.broadcast_to(jnp.asarray(loop_info, base.edges_meas.dtype),
+                         (max_candidates, 3))
+    )
+    emask = base.edge_mask.at[E0:].set(matches.ok)
+    return base._replace(edges_ij=ij, edges_meas=meas, edges_info=info,
+                         edge_mask=emask), matches

@@ -42,19 +42,57 @@ def build_pyramid(img, levels: int):
     return pyr
 
 
-def _patch_offsets(window: int, dtype=jnp.float32):
+def _patch_offsets(window: int, dtype=None):
+    """Static (numpy) regular-grid offsets so the patch geometry stays concrete
+    under tracing (only the *centres* are traced values)."""
+    import numpy as np
+
     r = window // 2
-    o = jnp.arange(-r, r + 1, dtype=dtype)
-    oy, ox = jnp.meshgrid(o, o, indexing="ij")
+    o = np.arange(-r, r + 1, dtype=np.float32)
+    oy, ox = np.meshgrid(o, o, indexing="ij")
     return ox.reshape(-1), oy.reshape(-1)  # each [window*window]
 
 
 def _gather_patches(img, centers, ox, oy):
-    """Bilinear patches around [K,2] centers: -> [K, P] with P=window^2."""
-    xy = jnp.stack(
-        [centers[:, 0:1] + ox[None, :], centers[:, 1:2] + oy[None, :]], axis=-1
-    )  # [K, P, 2]
-    return bilinear_sample_image(img, xy)
+    """Bilinear patches around [K,2] centers: -> [K, P] with P=window^2.
+
+    TPU-fast formulation: because the sample pattern is an axis-aligned regular
+    grid, bilinear interpolation of each patch is NOT a per-element gather —
+    it is four *contiguous* dynamic slices of the image blended with the
+    fractional weights.  vmapped `lax.dynamic_slice` lowers to a batched
+    block-gather, which the TPU memory system handles ~100x faster than
+    4*P scalar gathers per feature.
+    """
+    w = int(round(float(ox[-1] - ox[0]))) + 1  # window side (static)
+    H, W = img.shape
+    # edge-pad so slice origins never clamp (clamping would silently shift the
+    # sampled window relative to the requested fractional position)
+    pad = w + 2
+    imgp = jnp.pad(img, pad, mode="edge")
+    x0f = centers[:, 0] + float(ox[0]) + pad
+    y0f = centers[:, 1] + float(oy[0]) + pad
+    x0 = jnp.floor(x0f)
+    y0 = jnp.floor(y0f)
+    fx = (x0f - x0)[:, None, None]
+    fy = (y0f - y0)[:, None, None]
+    xi = jnp.clip(x0.astype(jnp.int32), 0, W + 2 * pad - w - 1)
+    yi = jnp.clip(y0.astype(jnp.int32), 0, H + 2 * pad - w - 1)
+
+    def slice_one(y, x):
+        return jax.lax.dynamic_slice(imgp, (y, x), (w + 1, w + 1))
+
+    big = jax.vmap(slice_one)(yi, xi)  # [K, w+1, w+1]
+    p00 = big[:, :w, :w]
+    p01 = big[:, :w, 1:]
+    p10 = big[:, 1:, :w]
+    p11 = big[:, 1:, 1:]
+    out = (
+        p00 * (1 - fy) * (1 - fx)
+        + p01 * (1 - fy) * fx
+        + p10 * fy * (1 - fx)
+        + p11 * fy * fx
+    )
+    return out.reshape(centers.shape[0], w * w)
 
 
 class TrackResult(NamedTuple):

@@ -23,17 +23,15 @@ from radarslampy_tpu.parallel.mesh import KF_AXIS
 
 def shard_map_state(m: MapState, mesh: Mesh) -> MapState:
     """Place the map on the mesh: keyframe axis sharded, cursor replicated."""
-    kf = NamedSharding(mesh, P(KF_AXIS))
-    kf2 = NamedSharding(mesh, P(KF_AXIS, None))
-    kf3 = NamedSharding(mesh, P(KF_AXIS, None, None))
     rep = NamedSharding(mesh, P())
-    return MapState(
-        poses=jax.device_put(m.poses, kf2),
-        feat_world=jax.device_put(m.feat_world, kf3),
-        feat_mask=jax.device_put(m.feat_mask, kf2),
-        velocities=jax.device_put(m.velocities, kf2),
-        cursor=jax.device_put(m.cursor, rep),
-    )
+
+    def put(x):
+        if x.ndim == 0:
+            return jax.device_put(x, rep)
+        spec = P(*([KF_AXIS] + [None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, m)
 
 
 def nearest_keyframes(m: MapState, query_pose, k: int, mesh: Mesh,

@@ -46,6 +46,8 @@ def _toy_map(M=64, K=8):
     return MapState(
         poses=jnp.asarray(poses),
         feat_world=jnp.asarray(fw),
+        feat_local=jnp.asarray(fw * 0.5),
+        feat_ids=jnp.arange(M * K, dtype=jnp.int32).reshape(M, K),
         feat_mask=jnp.asarray(fm),
         velocities=jnp.zeros((M, 3), jnp.float32),
         cursor=jnp.int32(40),
