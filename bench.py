@@ -26,11 +26,11 @@ def main():
 
     from radarslampy_tpu.config import SlamConfig
     from radarslampy_tpu.models import frontend
-    from radarslampy_tpu.ops.grid import build_grid_maps
+    from radarslampy_tpu.models.frontend import build_frame_maps
     from radarslampy_tpu.sim import fakedata as fd
 
     cfg = SlamConfig()
-    maps = build_grid_maps(cfg)
+    maps = build_frame_maps(cfg)
     rng = np.random.default_rng(0)
 
     # synthetic curved trajectory at realistic speed (~10 m/s, 4 Hz)
@@ -50,19 +50,20 @@ def main():
         for p in poses
     ]
 
-    state = jax.jit(lambda p: frontend.init_state(p, jnp.zeros(3), maps, cfg))(scans[0])
+    init = jax.jit(lambda p, m: frontend.init_state(p, jnp.zeros(3), m, cfg))
+    state = init(scans[0], maps)
     step = jax.jit(
-        lambda s, p: frontend.slam_step(s, p, maps, cfg), donate_argnums=(0,)
+        lambda s, p, m: frontend.slam_step(s, p, m, cfg), donate_argnums=(0,)
     )
 
     # warmup + compile
     for i in range(1, n_warm + 1):
-        state, out = step(state, scans[i])
+        state, out = step(state, scans[i], maps)
     jax.block_until_ready(out.pose)
 
     t0 = time.perf_counter()
     for i in range(n_warm + 1, T):
-        state, out = step(state, scans[i])
+        state, out = step(state, scans[i], maps)
     jax.block_until_ready(out.pose)
     dt = time.perf_counter() - t0
 

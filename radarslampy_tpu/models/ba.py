@@ -182,7 +182,7 @@ def optimize_ba(p: BAProblem, cfg: SlamConfig, max_views_per_landmark: int = 8):
             jnp.einsum("oab,oa->ob", Jl, wr)
         )
         # damped landmark blocks, closed-form 2x2 inverse
-        Hll_d = Hll + (lam * (jnp.vmap(jnp.trace)(Hll) * 0.5) + 1e-8)[
+        Hll_d = Hll + (lam * ((Hll[:, 0, 0] + Hll[:, 1, 1]) * 0.5) + 1e-8)[
             :, None, None
         ] * jnp.eye(2, dtype=dtype)[None]
         det = Hll_d[:, 0, 0] * Hll_d[:, 1, 1] - Hll_d[:, 0, 1] * Hll_d[:, 1, 0]

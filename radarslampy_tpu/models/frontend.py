@@ -36,14 +36,37 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from typing import NamedTuple as _NamedTuple
+
 from radarslampy_tpu.config import SlamConfig
 from radarslampy_tpu.ops import geometry as geo
 from radarslampy_tpu.ops.features import Candidates, get_features, merge_features
 from radarslampy_tpu.ops.fmt import estimate_rotation_fmt
-from radarslampy_tpu.ops.grid import GridMaps, polar_to_cartesian
+from radarslampy_tpu.ops.grid import GridMaps, build_grid_maps, polar_to_cartesian
 from radarslampy_tpu.ops.motion import solve_motion, undistort
 from radarslampy_tpu.ops.robust import reject_outliers
+from radarslampy_tpu.ops.routed_warp import (
+    RoutedWarpMaps,
+    build_routed_warp_maps,
+    routed_polar_to_cartesian,
+)
 from radarslampy_tpu.ops.tracking import track_klt
+
+
+class FrameMaps(_NamedTuple):
+    """All static resample maps the per-frame step needs.
+
+    MUST be passed through jit as a runtime argument, not a closure constant:
+    XLA lowers gathers whose index operands are compile-time constants onto a
+    ~1000x slower path (see ops/routed_warp.py).
+    """
+
+    grid: GridMaps          # log-polar + reference bilinear maps
+    routed: RoutedWarpMaps  # fast routed polar->cart warp
+
+
+def build_frame_maps(cfg: SlamConfig) -> FrameMaps:
+    return FrameMaps(grid=build_grid_maps(cfg), routed=build_routed_warp_maps(cfg))
 
 
 class MapState(NamedTuple):
@@ -149,10 +172,10 @@ def _write_keyframe(m: MapState, pose, feat_world, feat_local, feat_ids,
     )
 
 
-def init_state(polar0, init_pose, maps: GridMaps, cfg: SlamConfig) -> SlamState:
+def init_state(polar0, init_pose, maps: FrameMaps, cfg: SlamConfig) -> SlamState:
     """First-frame initialisation (RawROAMSystem.py:143-160): detect features,
     anchor them at the initial pose, write keyframe 0."""
-    cart = polar_to_cartesian(polar0, maps, cfg)
+    cart = routed_polar_to_cartesian(polar0, maps.routed)
     cands = get_features(cart, cfg)
     K = cfg.k_max
     coords = jnp.zeros((K, 2), cart.dtype)
@@ -184,9 +207,10 @@ def init_state(polar0, init_pose, maps: GridMaps, cfg: SlamConfig) -> SlamState:
     )
 
 
-def slam_step(state: SlamState, polar, maps: GridMaps, cfg: SlamConfig):
-    """One radar frame through the full pipeline.  Pure; jit with static cfg/maps."""
-    cart = polar_to_cartesian(polar, maps, cfg)
+def slam_step(state: SlamState, polar, maps: FrameMaps, cfg: SlamConfig):
+    """One radar frame through the full pipeline.  Pure; jit with static cfg,
+    maps passed as a runtime argument."""
+    cart = routed_polar_to_cartesian(polar, maps.routed)
 
     # ---- FMT rotation estimate (gated; reference computes-and-ignores) ----
     if cfg.use_fmt:

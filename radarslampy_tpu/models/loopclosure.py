@@ -75,17 +75,22 @@ def icp_align(pts_i, mask_i, pts_j, mask_j, init_rel,
 
     All [K,2] masked; NN by dense [K,K] distances (K is small).  Convergence is
     *not* data-dependent — `iters` Procrustes refits, masked matches only.
+    The match radius anneals from 4x down to the target over the iterations so
+    a coarse initial guess (drifted poses) still locks on.
     """
     K = pts_i.shape[0]
+    radii = jnp.geomspace(4.0 * match_radius, match_radius, iters).astype(
+        pts_i.dtype
+    )
 
-    def body(rel, _):
+    def body(rel, radius):
         T = geo.pose_to_transform(rel)
         pj = pts_j @ T[:2, :2].T + T[:2, 2]
         d2 = jnp.sum((pts_i[:, None, :] - pj[None, :, :]) ** 2, axis=-1)
         d2 = jnp.where(mask_i[:, None] & mask_j[None, :], d2, jnp.inf)
         nn = jnp.argmin(d2, axis=1)              # for each i: best j
         nn_d2 = jnp.take_along_axis(d2, nn[:, None], axis=1)[:, 0]
-        w = (nn_d2 < match_radius**2).astype(pts_i.dtype) * mask_i
+        w = (nn_d2 < radius**2).astype(pts_i.dtype) * mask_i
         R, h, ok = geo.procrustes_masked(pts_i, pj[nn], w)
         # compose the correction onto rel (3x3 product is fine: magnitudes here
         # are the *relative* pose, already small)
@@ -95,7 +100,7 @@ def icp_align(pts_i, mask_i, pts_j, mask_j, init_rel,
         new_rel = jnp.where(ok, new_rel, rel)
         return new_rel, (w, nn_d2)
 
-    rel, (w, nn_d2) = jax.lax.scan(body, jnp.asarray(init_rel), None, length=iters)
+    rel, (w, nn_d2) = jax.lax.scan(body, jnp.asarray(init_rel), radii)
     w_last, d2_last = jax.tree_util.tree_map(lambda x: x[-1], (w, nn_d2))
     n = jnp.sum(w_last.astype(jnp.int32))
     mean_res = jnp.sqrt(

@@ -13,10 +13,10 @@ Usage:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import queue
 import threading
 import time
-from functools import partial
 from typing import Callable, List, Optional
 
 import jax
@@ -26,7 +26,7 @@ from radarslampy_tpu.config import DEFAULT_CONFIG, SlamConfig
 from radarslampy_tpu.io import oxford
 from radarslampy_tpu.models import frontend
 from radarslampy_tpu.models.trajectory import Trajectory, align_and_rmse
-from radarslampy_tpu.ops.grid import build_grid_maps
+from radarslampy_tpu.models.frontend import build_frame_maps
 
 
 @dataclasses.dataclass
@@ -43,27 +43,65 @@ class RunResult:
 
 class _Prefetcher:
     """Background PNG decode + host->device upload overlap (SURVEY.md §7:
-    'the pipeline is I/O-bound before it is compute-bound')."""
+    'the pipeline is I/O-bound before it is compute-bound').
 
-    def __init__(self, paths: List[str], cfg: SlamConfig, depth: int = 4):
+    A pool of decode workers (PIL releases the GIL during inflate) feeds an
+    in-order reassembly queue, so the device never waits on a single-threaded
+    ~24 ms/frame decode."""
+
+    def __init__(self, paths: List[str], cfg: SlamConfig, depth: int = 8,
+                 workers: int = 4):
         self._paths = paths
         self._cfg = cfg
-        self._q: queue.Queue = queue.Queue(maxsize=depth)
-        self._thread = threading.Thread(target=self._work, daemon=True)
-        self._thread.start()
+        self._results: dict = {}
+        self._lock = threading.Lock()
+        self._ready = threading.Condition(self._lock)
+        self._next_put = 0
+        self._depth = depth
+        self._workers = [
+            threading.Thread(target=self._work, args=(w, workers), daemon=True)
+            for w in range(min(workers, max(len(paths), 1)))
+        ]
+        for t in self._workers:
+            t.start()
 
-    def _work(self):
-        for p in self._paths:
-            frame = oxford.decode_radar_png(p, self._cfg)
-            self._q.put(frame)
-        self._q.put(None)
+    def _work(self, offset: int, stride: int):
+        for i in range(offset, len(self._paths), stride):
+            frame = oxford.decode_radar_png(self._paths[i], self._cfg)
+            with self._ready:
+                while i - self._next_put > self._depth:
+                    self._ready.wait()
+                self._results[i] = frame
+                self._ready.notify_all()
 
     def __iter__(self):
-        while True:
-            item = self._q.get()
-            if item is None:
-                return
-            yield item
+        for i in range(len(self._paths)):
+            with self._ready:
+                while i not in self._results:
+                    self._ready.wait()
+                frame = self._results.pop(i)
+                self._next_put = i + 1
+                self._ready.notify_all()
+            yield frame
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled_fns(cfg: SlamConfig):
+    """Shared jitted entry points, cached per config.
+
+    One compiled executable per SlamConfig for the whole process — a fresh
+    jit wrapper per system instance would recompile the fused step (~30 s)
+    on every run.  Maps are runtime jit arguments (constant index operands
+    would push XLA's gathers onto a ~1000x slower path; see ops/routed_warp.py).
+    """
+    init_fn = jax.jit(
+        lambda polar, pose, maps: frontend.init_state(polar, pose, maps, cfg)
+    )
+    step_fn = jax.jit(
+        lambda state, polar, maps: frontend.slam_step(state, polar, maps, cfg),
+        donate_argnums=(0,),
+    )
+    return init_fn, step_fn
 
 
 class RadarSlamSystem:
@@ -80,16 +118,9 @@ class RadarSlamSystem:
         self.img_paths = oxford.radar_image_paths(
             self.paths["radar"], self.paths["timestamps"]
         )
-        self.maps = build_grid_maps(cfg)
+        self.maps = build_frame_maps(cfg)
         self.progress = progress
-
-        self._init_fn = jax.jit(
-            partial(frontend.init_state, maps=self.maps, cfg=cfg)
-        )
-        self._step_fn = jax.jit(
-            partial(frontend.slam_step, maps=self.maps, cfg=cfg),
-            donate_argnums=(0,),
-        )
+        self._init_fn, self._step_fn = _compiled_fns(cfg)
 
         # ground truth (optional — bench sequences may not ship one)
         self.gt_traj: Optional[Trajectory] = None
@@ -110,24 +141,47 @@ class RadarSlamSystem:
             end = len(paths) - 1
         assert 0 <= start <= end < len(paths)
 
-        frames = _Prefetcher(paths[start : end + 1], self.cfg)
+        window = paths[start : end + 1]
+        try:  # native C++ decode pool (io/native/) — GIL-free, ~3x faster
+            from radarslampy_tpu.io.native_loader import NativeLoader, native_available
+
+            frames = NativeLoader(window, self.cfg) if native_available() else None
+        except Exception:
+            frames = None
+        if frames is None:
+            frames = _Prefetcher(window, self.cfg)
         it = iter(frames)
         first = next(it)
 
-        state = self._init_fn(first.power, self.initial_pose(first.frame_timestamp))
+        init_pose = self.initial_pose(first.frame_timestamp)
+        state = self._init_fn(first.power, init_pose, self.maps)
         est = Trajectory()
-        est.append(first.frame_timestamp, np.asarray(state.pose))
+        # host-side copy of the init pose: a device readback here would poison
+        # remote-TPU (axon) dispatch into a synchronous slow path for the rest
+        # of the process (measured 25x dispatch degradation after any D2H).
+        est.append(first.frame_timestamp, init_pose)
 
+        # keep the device pipeline busy: poses stay on device during the loop
+        # (each np.asarray would be a blocking transfer) and are fetched after.
+        # fps excludes first-step compile: time starts after the first step
+        # completes on device.
         t0 = time.perf_counter()
         n = 0
+        stamps, device_poses = [], []
         for frame in it:
-            state, out = self._step_fn(state, frame.power)
-            est.append(frame.frame_timestamp, np.asarray(out.pose))
+            state, out = self._step_fn(state, frame.power, self.maps)
+            stamps.append(frame.frame_timestamp)
+            device_poses.append(out.pose)
             n += 1
+            if n == 1:
+                jax.block_until_ready(out.pose)
+                t0 = time.perf_counter()
             if self.progress is not None:
                 self.progress(n, out)
         jax.block_until_ready(state.pose)
         dt = time.perf_counter() - t0
+        for ts, pose in zip(stamps, jax.device_get(device_poses)):
+            est.append(ts, pose)
 
         rmse = None
         if self.gt_traj is not None and len(est.timestamps) > 1:
@@ -139,6 +193,6 @@ class RadarSlamSystem:
             n_keyframes=int(state.map.cursor),
             frames=n + 1,
             seconds=dt,
-            fps=n / dt if dt > 0 else float("inf"),
+            fps=(n - 1) / dt if dt > 0 and n > 1 else float("inf"),
             final_state=state,
         )

@@ -1,0 +1,112 @@
+"""Bundle adjustment: Schur-complement GN on synthetic multi-view problems."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from radarslampy_tpu.config import SlamConfig
+from radarslampy_tpu.models.ba import BAProblem, ba_cost, build_ba_problem, optimize_ba
+from radarslampy_tpu.models.frontend import MapState
+
+CFG = SlamConfig(pg_iterations=15)
+
+
+def _observe(pose, lm):
+    c, s = np.cos(pose[2]), np.sin(pose[2])
+    d = lm - pose[:2]
+    return np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1]])
+
+
+def _make_problem(rng, M=6, L=40, noise=0.0, pose_noise=0.0):
+    """Poses on a line, landmarks scattered, every landmark seen by 3 poses."""
+    gt_poses = np.stack(
+        [np.arange(M) * 5.0, np.zeros(M), rng.uniform(-0.3, 0.3, M)], axis=1
+    )
+    gt_lms = rng.uniform([-10, -30], [M * 5.0 + 10, 30], size=(L, 2))
+
+    obs_pose, obs_lm, obs_xy = [], [], []
+    for l in range(L):
+        views = rng.choice(M, size=3, replace=False)
+        for m in views:
+            z = _observe(gt_poses[m], gt_lms[l])
+            if noise:
+                z = z + rng.normal(0, noise, 2)
+            obs_pose.append(m)
+            obs_lm.append(l)
+            obs_xy.append(z)
+
+    init_poses = gt_poses + rng.normal(0, pose_noise, gt_poses.shape)
+    init_poses[0] = gt_poses[0]  # anchored
+    init_lms = gt_lms + rng.normal(0, pose_noise * 2 + 0.01, gt_lms.shape)
+
+    p = BAProblem(
+        poses=jnp.asarray(init_poses, jnp.float32),
+        pose_mask=jnp.ones(M, dtype=bool),
+        landmarks=jnp.asarray(init_lms, jnp.float32),
+        lm_mask=jnp.ones(L, dtype=bool),
+        obs_pose=jnp.asarray(obs_pose, jnp.int32),
+        obs_lm=jnp.asarray(obs_lm, jnp.int32),
+        obs_xy=jnp.asarray(np.stack(obs_xy), jnp.float32),
+        obs_mask=jnp.ones(len(obs_pose), dtype=bool),
+    )
+    return p, gt_poses, gt_lms
+
+
+def test_ba_converges_to_ground_truth(rng):
+    p, gt_poses, gt_lms = _make_problem(rng, pose_noise=0.3)
+    poses, lms, cost = optimize_ba(p, CFG)
+    poses, lms = np.asarray(poses), np.asarray(lms)
+    err_pose = np.linalg.norm(poses[:, :2] - gt_poses[:, :2], axis=1)
+    init_err = np.linalg.norm(np.asarray(p.poses)[:, :2] - gt_poses[:, :2], axis=1)
+    assert err_pose.mean() < 0.2 * max(init_err.mean(), 1e-9) + 0.02
+    assert float(cost) < 1e-2
+
+
+def test_ba_noise_robust(rng):
+    p, gt_poses, gt_lms = _make_problem(rng, noise=0.05, pose_noise=0.5)
+    poses, lms, cost = optimize_ba(p, CFG)
+    poses = np.asarray(poses)
+    err = np.linalg.norm(poses[:, :2] - gt_poses[:, :2], axis=1).mean()
+    init_err = np.linalg.norm(
+        np.asarray(p.poses)[:, :2] - gt_poses[:, :2], axis=1
+    ).mean()
+    assert err < init_err * 0.5
+
+
+def test_build_ba_problem_from_map(rng):
+    """The packer keeps only multi-view landmarks and groups observations."""
+    M_cap, K = 8, 16
+    cursor = 4
+    ids = np.full((M_cap, K), -1, np.int32)
+    mask = np.zeros((M_cap, K), bool)
+    local = np.zeros((M_cap, K, 2), np.float32)
+    world = np.zeros((M_cap, K, 2), np.float32)
+    poses = np.zeros((M_cap, 3), np.float32)
+    poses[:cursor, 0] = np.arange(cursor) * 2.0
+
+    # landmark id 7 seen by kf 0,1,2; id 9 seen only by kf 3
+    for m, slot in [(0, 0), (1, 3), (2, 5)]:
+        ids[m, slot] = 7
+        mask[m, slot] = True
+        world[m, slot] = (5.0, 1.0)
+        local[m, slot] = _observe(poses[m], np.array([5.0, 1.0]))
+    ids[3, 2] = 9
+    mask[3, 2] = True
+    world[3, 2] = (1.0, 1.0)
+
+    ms = MapState(
+        poses=jnp.asarray(poses),
+        feat_world=jnp.asarray(world),
+        feat_local=jnp.asarray(local),
+        feat_ids=jnp.asarray(ids),
+        feat_mask=jnp.asarray(mask),
+        velocities=jnp.zeros((M_cap, 3), jnp.float32),
+        cursor=jnp.int32(cursor),
+    )
+    p = build_ba_problem(ms, min_views=2)
+    assert int(p.lm_mask.sum()) == 1           # only landmark 7 kept
+    assert int(p.obs_mask.sum()) == 3
+    np.testing.assert_allclose(
+        np.asarray(p.landmarks)[0], (5.0, 1.0), atol=1e-5
+    )
+    # zero residual at ground truth
+    assert float(ba_cost(p.poses, p.landmarks, p, 1.0)) < 1e-6

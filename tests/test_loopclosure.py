@@ -1,0 +1,126 @@
+"""Loop closure: ICP verification + drift correction on a synthetic loop."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from radarslampy_tpu.config import SlamConfig
+from radarslampy_tpu.models.frontend import MapState
+from radarslampy_tpu.models.loopclosure import (
+    close_loops,
+    find_candidates,
+    icp_align,
+    verify_candidate,
+)
+from radarslampy_tpu.models.posegraph import optimize_pose_graph
+
+CFG = SlamConfig(pg_iterations=20)
+
+
+def _local_view(pose, world_pts):
+    c, s = np.cos(pose[2]), np.sin(pose[2])
+    d = world_pts - pose[:2]
+    return np.stack([c * d[:, 0] + s * d[:, 1], -s * d[:, 0] + c * d[:, 1]], axis=1)
+
+
+def test_icp_aligns_known_transform(rng):
+    K = 64
+    pts_j = rng.uniform(-30, 30, (K, 2)).astype(np.float32)
+    rel_true = np.array([2.0, -1.0, 0.2], np.float32)
+    c, s = np.cos(rel_true[2]), np.sin(rel_true[2])
+    pts_i = pts_j @ np.array([[c, -s], [s, c]]).T + rel_true[:2]
+
+    init = rel_true + np.array([0.5, 0.5, 0.05], np.float32)
+    m = jnp.ones(K, dtype=bool)
+    match = icp_align(jnp.asarray(pts_i), m, jnp.asarray(pts_j), m,
+                      jnp.asarray(init))
+    assert bool(match.ok)
+    np.testing.assert_allclose(np.asarray(match.rel_pose), rel_true, atol=0.02)
+    assert float(match.residual) < 0.05
+
+
+def test_icp_partial_overlap(rng):
+    K = 64
+    pts_j = np.zeros((K, 2), np.float32)
+    pts_i = np.zeros((K, 2), np.float32)
+    shared = rng.uniform(-20, 20, (40, 2)).astype(np.float32)
+    rel_true = np.array([1.0, 0.5, -0.1], np.float32)
+    c, s = np.cos(rel_true[2]), np.sin(rel_true[2])
+    pts_j[:40] = shared
+    pts_i[:40] = shared @ np.array([[c, -s], [s, c]]).T + rel_true[:2]
+    # unshared clutter
+    pts_j[40:] = rng.uniform(50, 80, (24, 2))
+    pts_i[40:] = rng.uniform(-80, -50, (24, 2))
+    m = jnp.ones(K, dtype=bool)
+    match = icp_align(jnp.asarray(pts_i), m, jnp.asarray(pts_j), m,
+                      jnp.asarray(rel_true + np.float32(0.3)))
+    np.testing.assert_allclose(np.asarray(match.rel_pose), rel_true, atol=0.05)
+
+
+def _loop_map(rng, n=30, drift=0.4):
+    """Square loop of keyframes; last keyframe physically at the first's spot
+    but with accumulated drift in its pose estimate."""
+    side = n // 4
+    gt = []
+    pose = np.zeros(3)
+    for leg in range(4):
+        for _ in range(side):
+            gt.append(pose.copy())
+            c, s = np.cos(pose[2]), np.sin(pose[2])
+            pose[:2] += np.array([c, s]) * 4.0
+        pose[2] += np.pi / 2
+    gt = np.array(gt)
+
+    world = rng.uniform(-30, 50, (300, 2))
+
+    M, K = 64, 64
+    ms = MapState(
+        poses=jnp.zeros((M, 3), jnp.float32),
+        feat_world=jnp.zeros((M, K, 2), jnp.float32),
+        feat_local=jnp.zeros((M, K, 2), jnp.float32),
+        feat_ids=jnp.full((M, K), -1, jnp.int32),
+        feat_mask=jnp.zeros((M, K), dtype=bool),
+        velocities=jnp.zeros((M, 3), jnp.float32),
+        cursor=jnp.int32(len(gt)),
+    )
+    poses_est = gt.copy()
+    # linear drift along the run
+    poses_est[:, 0] += np.linspace(0, drift, len(gt))
+    poses_est[:, 1] += np.linspace(0, drift * 0.5, len(gt))
+
+    feat_local = np.zeros((M, K, 2), np.float32)
+    feat_mask = np.zeros((M, K), bool)
+    for m in range(len(gt)):
+        d = np.linalg.norm(world - gt[m][:2], axis=1)
+        near = np.argsort(d)[:K // 2]
+        feat_local[m, : len(near)] = _local_view(gt[m], world[near])
+        feat_mask[m, : len(near)] = True
+
+    ms = ms._replace(
+        poses=jnp.asarray(poses_est.astype(np.float32)),
+        feat_local=jnp.asarray(feat_local),
+        feat_mask=jnp.asarray(feat_mask),
+    )
+    return ms, gt
+
+
+def test_find_candidates_prefers_revisits(rng):
+    ms, gt = _loop_map(rng)
+    cands = find_candidates(ms.poses, ms.cursor, max_candidates=8,
+                            radius_m=8.0, min_index_gap=20)
+    i, j, v = np.asarray(cands.i), np.asarray(cands.j), np.asarray(cands.valid)
+    assert v.any()
+    # the best candidate must pair the loop start with the loop end region
+    assert i[0] < 5 and j[0] >= 25
+
+
+def test_close_loops_reduces_drift(rng):
+    ms, gt = _loop_map(rng, drift=0.6)
+    graph, matches = close_loops(ms, CFG, max_candidates=8, radius_m=8.0,
+                                 min_index_gap=20)
+    assert int(matches.ok.sum()) >= 1, "no loop closure accepted"
+    poses_opt, cost = optimize_pose_graph(graph, CFG)
+    poses_opt = np.asarray(poses_opt)[: int(ms.cursor)]
+    est = np.asarray(ms.poses)[: int(ms.cursor)]
+    err_before = np.linalg.norm(est[:, :2] - gt[:, :2], axis=1).mean()
+    err_after = np.linalg.norm(poses_opt[:, :2] - gt[:, :2], axis=1).mean()
+    assert err_after < err_before * 0.8, (err_before, err_after)

@@ -53,13 +53,13 @@ def test_synthetic_sequence_odometry(rng):
     import jax.numpy as jnp
 
     from radarslampy_tpu.models import frontend
-    from radarslampy_tpu.ops.grid import build_grid_maps
+    from radarslampy_tpu.models.frontend import build_frame_maps
     from radarslampy_tpu.sim import fakedata as fd
 
     cfg = SlamConfig(
         cart_size=1024, cart_downsample=4, n_candidates=512, mds_iterations=8
     )
-    maps = build_grid_maps(cfg)
+    maps = build_frame_maps(cfg)
 
     T = 8
     poses = np.zeros((T, 3))
@@ -71,15 +71,15 @@ def test_synthetic_sequence_odometry(rng):
     frames = [s for _, s in fd.render_sequence(rng, poses, cfg, n_landmarks=1200,
                                                with_distortion=True, noise=0.01)]
 
-    init = jax.jit(lambda p: frontend.init_state(p, jnp.zeros(3), maps, cfg))
-    step = jax.jit(lambda s, p: frontend.slam_step(s, p, maps, cfg))
+    init = jax.jit(lambda p, m: frontend.init_state(p, jnp.zeros(3), m, cfg))
+    step = jax.jit(lambda s, p, m: frontend.slam_step(s, p, m, cfg))
 
     # note: the renderer's world frame is the image frame (y down); GT poses are
     # interpreted in that same frame, so comparison is direct.
-    state = init(jnp.asarray(frames[0]))
+    state = init(jnp.asarray(frames[0]), maps)
     est = [np.asarray(state.pose)]
     for f in frames[1:]:
-        state, out = step(state, jnp.asarray(f))
+        state, out = step(state, jnp.asarray(f), maps)
         est.append(np.asarray(out.pose))
     est = np.stack(est)
 
