@@ -59,7 +59,8 @@ def main(argv=None):
         from radarslampy_tpu.models.loopclosure import close_loops
         from radarslampy_tpu.models.posegraph import optimize_pose_graph
 
-        graph, matches = close_loops(res.final_state.map, cfg)
+        from radarslampy_tpu.models.loopclosure import trim_map_state
+        graph, matches = close_loops(trim_map_state(jax.device_get(res.final_state.map)), cfg)
         n_loops = int(matches.ok.sum())
         summary["loop_closures"] = n_loops
         if n_loops:

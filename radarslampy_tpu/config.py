@@ -56,7 +56,12 @@ class SlamConfig:
     klt_pyramid_levels: int = 4         # maxLevel=3 => 4 levels
     klt_iters: int = 10
     klt_eps: float = 0.03
-    klt_err_threshold: float = 10.0     # mean abs patch residual gate
+    # Mean-abs-patch-residual gate (0..255 scale).  The reference uses 10
+    # (getTransformKLT.py:84) and leans on it because its max-clique rejection
+    # is exponential-cost; radar speckle puts the *median* honest track at ~10,
+    # so that gate throws away half the features.  Our clique peeling is cheap,
+    # so we gate loosely here and let geometric consistency do the rejection.
+    klt_err_threshold: float = 20.0
 
     # ---- outlier rejection (outlierRejection.py:10-13) ----
     clique_dist_threshold_m: float = 0.5
@@ -70,7 +75,7 @@ class SlamConfig:
     # ---- keyframing (Mapping.py:13-15) ----
     kf_rot_threshold_rad: float = 0.2
     kf_trans_threshold_m: float = 2.0
-    max_keyframes: int = 1024           # preallocated map capacity
+    max_keyframes: int = 4096           # preallocated map capacity (full_seq_1 scale)
 
     # ---- FMT rotation estimate (FMT.py:10-11) ----
     fmt_range_clip_m: float = 87.5

@@ -1,0 +1,153 @@
+"""Long-sequence evaluation harness on synthetic scans along real GT motion.
+
+full_seq_1 ships its ground-truth odometry but not its radar images
+(BASELINE.md; only data/tiny has PNGs), so large-scale end-to-end validation
+renders synthetic scans from a landmark world along the *real* full_seq_1
+trajectory (io.oxford.load_gt_trajectory) — real vehicle dynamics, exact
+ground truth, arbitrary length.
+
+`evaluate_sequence` runs the full device pipeline over the rendered frames and
+reports odometry ATE; optionally runs loop-closure + pose-graph optimisation
+and reports the corrected keyframe ATE as well.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+
+from radarslampy_tpu.config import SlamConfig
+from radarslampy_tpu.io import oxford
+from radarslampy_tpu.models.trajectory import compute_rmse
+
+
+@dataclasses.dataclass
+class EvalResult:
+    frames: int
+    fps: float
+    ate_odometry: float
+    n_keyframes: int
+    n_loop_closures: int = 0
+    ate_keyframes_before: Optional[float] = None
+    ate_keyframes_after: Optional[float] = None
+
+
+def gt_subsequence(gt_csv: str, start: int, count: int, stride: int = 1):
+    """[count, 3] poses from a real GT odometry csv, re-anchored to the origin."""
+    _, poses, _ = oxford.load_gt_trajectory(gt_csv)
+    seg = poses[start : start + count * stride : stride].copy()
+    # re-anchor: first pose at origin, heading 0
+    x0, y0, th0 = seg[0]
+    c, s = np.cos(-th0), np.sin(-th0)
+    xy = seg[:, :2] - (x0, y0)
+    seg[:, 0] = c * xy[:, 0] - s * xy[:, 1]
+    seg[:, 1] = s * xy[:, 0] + c * xy[:, 1]
+    seg[:, 2] = (seg[:, 2] - th0 + np.pi) % (2 * np.pi) - np.pi
+    return seg
+
+
+def evaluate_sequence(
+    poses_gt: np.ndarray,
+    cfg: SlamConfig,
+    seed: int = 0,
+    n_landmarks_per_km2: float = 400.0,
+    run_backend: bool = False,
+    noise: float = 0.02,
+    progress_every: int = 0,
+):
+    """Render scans along poses_gt, run SLAM, report ATE (+backend ATE)."""
+    import jax
+    import jax.numpy as jnp
+
+    from radarslampy_tpu.models import frontend
+    from radarslampy_tpu.models.frontend import build_frame_maps
+    from radarslampy_tpu.sim import fakedata as fd
+
+    rng = np.random.default_rng(seed)
+    maps = build_frame_maps(cfg)
+
+    span = poses_gt[:, :2]
+    extent = float(np.abs(span).max() + cfg.max_range_clip_m)
+    area_km2 = (2 * extent / 1000.0) ** 2
+    n_landmarks = max(800, int(area_km2 * n_landmarks_per_km2))
+    world_pts, world_refl = fd.make_world(rng, n_landmarks, extent)
+
+    init = jax.jit(lambda p, m: frontend.init_state(p, jnp.zeros(3), m, cfg))
+    step = jax.jit(
+        lambda s, p, m: frontend.slam_step(s, p, m, cfg), donate_argnums=(0,)
+    )
+
+    period = cfg.scan_period_s
+
+    def render(t):
+        if t > 0:
+            dp = poses_gt[t] - poses_gt[t - 1]
+            c, s = np.cos(poses_gt[t][2]), np.sin(poses_gt[t][2])
+            vel = np.array(
+                [c * dp[0] + s * dp[1], -s * dp[0] + c * dp[1], dp[2]]
+            ) / period
+        else:
+            vel = np.zeros(3)
+        return fd.render_polar_scan(
+            world_pts, world_refl, poses_gt[t], cfg, velocity=vel, rng=rng,
+            noise=noise,
+        )
+
+    T = len(poses_gt)
+    state = init(jnp.asarray(render(0)), maps)
+    device_poses = []
+    t0 = time.perf_counter()
+    for t in range(1, T):
+        state, out = step(state, jnp.asarray(render(t)), maps)
+        device_poses.append(out.pose)
+        if progress_every and t % progress_every == 0:
+            print(f"  frame {t}/{T}", flush=True)
+    import jax as _jax
+
+    _jax.block_until_ready(state.pose)
+    fps = (T - 1) / (time.perf_counter() - t0)
+
+    est = np.stack([np.asarray(p) for p in _jax.device_get(device_poses)])
+    est = np.vstack([poses_gt[0][None], est])
+    ate = compute_rmse(poses_gt, est)
+
+    res = EvalResult(
+        frames=T,
+        fps=fps,
+        ate_odometry=ate,
+        n_keyframes=int(state.map.cursor),
+    )
+
+    if run_backend:
+        from radarslampy_tpu.models.loopclosure import close_loops, trim_map_state
+        from radarslampy_tpu.models.posegraph import optimize_pose_graph
+
+        m = trim_map_state(_jax.device_get(state.map))
+        graph, matches = close_loops(m, cfg)
+        res.n_loop_closures = int(np.asarray(matches.ok).sum())
+        M = int(np.asarray(m.cursor))
+        kf_poses_before = np.asarray(m.poses)[:M]
+        # nearest-GT association by position along the run (keyframes are a
+        # subsequence of frames; associate by nearest frame index via pose time)
+        # — here we simply compare each keyframe pose against the closest GT
+        # pose in sequence order.
+        gt_kf = _associate(kf_poses_before, poses_gt, est)
+        res.ate_keyframes_before = compute_rmse(gt_kf, kf_poses_before)
+        if res.n_loop_closures > 0:
+            opt_poses, _ = optimize_pose_graph(graph, cfg)
+            opt = np.asarray(opt_poses)[:M]
+            res.ate_keyframes_after = compute_rmse(gt_kf, opt)
+    return res
+
+
+def _associate(kf_poses, poses_gt, est_frames):
+    """Associate keyframes to GT: each keyframe pose equals some frame's
+    estimated pose; find that frame and use its GT pose."""
+    gt = np.zeros_like(kf_poses)
+    for i, kp in enumerate(kf_poses):
+        j = np.argmin(np.linalg.norm(est_frames[:, :2] - kp[:2], axis=1))
+        gt[i] = poses_gt[j]
+    return gt

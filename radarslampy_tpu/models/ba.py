@@ -127,6 +127,113 @@ def ba_cost(poses, landmarks, p: BAProblem, huber_delta: float):
     return jnp.sum(w * m * jnp.sum(r * r, axis=-1))
 
 
+def build_view_table(p: BAProblem, max_views: int):
+    """[L, V] table: observation indices of each landmark (padded -1)."""
+    L = p.landmarks.shape[0]
+    V = max_views
+    order = jnp.argsort(p.obs_lm * jnp.int32(1) + (~p.obs_mask) * jnp.int32(10**6))
+    lm_sorted = p.obs_lm[order]
+    valid_sorted = p.obs_mask[order]
+    same_as_prev = jnp.concatenate(
+        [jnp.array([False]), lm_sorted[1:] == lm_sorted[:-1]]
+    ) & valid_sorted
+
+    def rank_scan(carry, s):
+        r = jnp.where(s, carry + 1, 0)
+        return r, r
+
+    _, ranks = jax.lax.scan(rank_scan, jnp.int32(0), same_as_prev)
+    view_table = jnp.full((L, V), -1, jnp.int32)
+    ok_entry = valid_sorted & (ranks < V)
+    return view_table.at[
+        jnp.where(ok_entry, lm_sorted, L - 1), jnp.where(ok_entry, ranks, V - 1)
+    ].set(jnp.where(ok_entry, order.astype(jnp.int32), -1), mode="drop")
+
+
+def schur_reduced_system(poses, landmarks, p: BAProblem, view_table, hd, lam,
+                         n_poses=None):
+    """Assemble the Schur-reduced pose system from this problem's observations.
+
+    Returns (H [3M,3M] *without* anchor/damping, bs [M,3], Hinv [L,2,2],
+    bl [L,2], U [O,3,2]).  Pure sum over observations/landmarks — a sharded
+    caller (parallel/dist_ba.py) psums H and bs across landmark shards and the
+    result is exactly the single-device system.
+    """
+    dtype = poses.dtype
+    M = n_poses or poses.shape[0]
+    L = landmarks.shape[0]
+    V = view_table.shape[1]
+    r, Jp, Jl, w = jax.vmap(_obs_blocks, in_axes=(0, 0, 0, None))(
+        poses[p.obs_pose], landmarks[p.obs_lm], p.obs_xy, hd
+    )
+    w = w * p.obs_mask.astype(dtype)
+    wr = w[:, None] * r
+    Hpp = jnp.zeros((M, 3, 3), dtype).at[p.obs_pose].add(
+        jnp.einsum("oab,oac->obc", Jp, w[:, None, None] * Jp)
+    )
+    bp = jnp.zeros((M, 3), dtype).at[p.obs_pose].add(
+        jnp.einsum("oab,oa->ob", Jp, wr)
+    )
+    Hll = jnp.zeros((L, 2, 2), dtype).at[p.obs_lm].add(
+        jnp.einsum("oab,oac->obc", Jl, w[:, None, None] * Jl)
+    )
+    bl = jnp.zeros((L, 2), dtype).at[p.obs_lm].add(
+        jnp.einsum("oab,oa->ob", Jl, wr)
+    )
+    # damped landmark blocks, closed-form 2x2 inverse
+    Hll_d = Hll + (lam * ((Hll[:, 0, 0] + Hll[:, 1, 1]) * 0.5) + 1e-8)[
+        :, None, None
+    ] * jnp.eye(2, dtype=dtype)[None]
+    det = Hll_d[:, 0, 0] * Hll_d[:, 1, 1] - Hll_d[:, 0, 1] * Hll_d[:, 1, 0]
+    det = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    Hinv = (
+        jnp.stack(
+            [
+                jnp.stack([Hll_d[:, 1, 1], -Hll_d[:, 0, 1]], -1),
+                jnp.stack([-Hll_d[:, 1, 0], Hll_d[:, 0, 0]], -1),
+            ],
+            -2,
+        )
+        / det[:, None, None]
+    ) * p.lm_mask[:, None, None].astype(dtype)
+
+    U = jnp.einsum("oab,oac->obc", Jp, w[:, None, None] * Jl)  # [O,3,2]
+
+    vt_ok = view_table >= 0
+    vt_safe = jnp.maximum(view_table, 0)
+    U_l = U[vt_safe] * vt_ok[..., None, None]          # [L, V, 3, 2]
+    pose_l = p.obs_pose[vt_safe]                        # [L, V]
+    A = jnp.einsum("lvab,lbc->lvac", U_l, Hinv)
+    C = jnp.einsum("lvab,lucb->lvuac", A, U_l)          # [L,V,V,3,3]
+    Hb = jnp.zeros((M, M, 3, 3), dtype)
+    rows = pose_l[:, :, None].repeat(V, 2).reshape(-1)
+    cols = pose_l[:, None, :].repeat(V, 1).reshape(-1)
+    Hb = Hb.at[rows, cols].add(-C.reshape(-1, 3, 3))
+    Hb = Hb.at[jnp.arange(M), jnp.arange(M)].add(Hpp)
+    bs = bp.at[p.obs_pose].add(
+        -jnp.einsum("oab,obc,oc->oa", U, Hinv[p.obs_lm], bl[p.obs_lm])
+    )
+    H = Hb.transpose(0, 2, 1, 3).reshape(3 * M, 3 * M)
+    return H, bs, Hinv, bl, U
+
+
+def solve_reduced(H, bs, lam, dtype):
+    """Anchor pose 0, damp, Cholesky-solve the reduced pose system."""
+    M3 = H.shape[0]
+    anchor = jnp.zeros(M3, dtype).at[:3].set(1e8)
+    H = H + jnp.diag(anchor + lam * (jnp.diag(H) + 1e-9))
+    return -jax.scipy.linalg.solve(H, bs.reshape(-1), assume_a="pos").reshape(-1, 3)
+
+
+def back_substitute_landmarks(Hinv, bl, U, delta_p, p: BAProblem):
+    """dl = -Hinv (bl + Hlp dp); (Hlp dp)_l = sum_{o in l} U_o^T dp_{m(o)}."""
+    L = bl.shape[0]
+    Hlp_dp = jnp.zeros((L, 2), bl.dtype).at[p.obs_lm].add(
+        jnp.einsum("oab,oa->ob", U, delta_p[p.obs_pose])
+    )
+    return -jnp.einsum("lab,lb->la", Hinv, bl + Hlp_dp)
+
+
 @partial(jax.jit, static_argnames=("cfg", "max_views_per_landmark"))
 def optimize_ba(p: BAProblem, cfg: SlamConfig, max_views_per_landmark: int = 8):
     """Fixed-budget LM bundle adjustment with exact Schur reduction.
@@ -134,105 +241,19 @@ def optimize_ba(p: BAProblem, cfg: SlamConfig, max_views_per_landmark: int = 8):
     The cross-pose fill-in of the reduced system couples only poses observing
     the same landmark.  We bound the views per landmark (`max_views_per_landmark`)
     and enumerate view pairs with a static [L, V, V] pattern — exact for
-    landmarks with <= V views (the packer guarantees this by splitting tracks).
+    landmarks with <= V views.
     """
     hd = cfg.pg_huber_delta
     dtype = p.poses.dtype
-    M = p.poses.shape[0]
-    L = p.landmarks.shape[0]
-    V = max_views_per_landmark
-
-    # Build [L, V] view tables on device (static shapes): for each landmark,
-    # the indices of its observations (padded with -1).
-    O = p.obs_lm.shape[0]
-    order = jnp.argsort(p.obs_lm * jnp.int32(1) + (~p.obs_mask) * jnp.int32(10**6))
-    lm_sorted = p.obs_lm[order]
-    valid_sorted = p.obs_mask[order]
-    # rank of each obs within its landmark group
-    same_as_prev = jnp.concatenate(
-        [jnp.array([False]), lm_sorted[1:] == lm_sorted[:-1]]
-    ) & valid_sorted
-    def rank_scan(carry, s):
-        r = jnp.where(s, carry + 1, 0)
-        return r, r
-    _, ranks = jax.lax.scan(rank_scan, jnp.int32(0), same_as_prev)
-    view_table = jnp.full((L, V), -1, jnp.int32)
-    ok_entry = valid_sorted & (ranks < V)
-    view_table = view_table.at[
-        jnp.where(ok_entry, lm_sorted, L - 1), jnp.where(ok_entry, ranks, V - 1)
-    ].set(jnp.where(ok_entry, order.astype(jnp.int32), -1), mode="drop")
+    view_table = build_view_table(p, max_views_per_landmark)
 
     def lm_step(carry, _):
         poses, landmarks, lam, cost = carry
-        r, Jp, Jl, w = jax.vmap(_obs_blocks, in_axes=(0, 0, 0, None))(
-            poses[p.obs_pose], landmarks[p.obs_lm], p.obs_xy, hd
+        H, bs, Hinv, bl, U = schur_reduced_system(
+            poses, landmarks, p, view_table, hd, lam
         )
-        w = w * p.obs_mask.astype(dtype)
-        wr = w[:, None] * r
-        Hpp = jnp.zeros((M, 3, 3), dtype).at[p.obs_pose].add(
-            jnp.einsum("oab,oac->obc", Jp, w[:, None, None] * Jp)
-        )
-        bp = jnp.zeros((M, 3), dtype).at[p.obs_pose].add(
-            jnp.einsum("oab,oa->ob", Jp, wr)
-        )
-        Hll = jnp.zeros((L, 2, 2), dtype).at[p.obs_lm].add(
-            jnp.einsum("oab,oac->obc", Jl, w[:, None, None] * Jl)
-        )
-        bl = jnp.zeros((L, 2), dtype).at[p.obs_lm].add(
-            jnp.einsum("oab,oa->ob", Jl, wr)
-        )
-        # damped landmark blocks, closed-form 2x2 inverse
-        Hll_d = Hll + (lam * ((Hll[:, 0, 0] + Hll[:, 1, 1]) * 0.5) + 1e-8)[
-            :, None, None
-        ] * jnp.eye(2, dtype=dtype)[None]
-        det = Hll_d[:, 0, 0] * Hll_d[:, 1, 1] - Hll_d[:, 0, 1] * Hll_d[:, 1, 0]
-        det = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
-        Hinv = (
-            jnp.stack(
-                [
-                    jnp.stack([Hll_d[:, 1, 1], -Hll_d[:, 0, 1]], -1),
-                    jnp.stack([-Hll_d[:, 1, 0], Hll_d[:, 0, 0]], -1),
-                ],
-                -2,
-            )
-            / det[:, None, None]
-        ) * p.lm_mask[:, None, None].astype(dtype)
-
-        U = jnp.einsum("oab,oac->obc", Jp, w[:, None, None] * Jl)  # [O,3,2]
-
-        # gather per-landmark views
-        vt = view_table  # [L, V]
-        vt_ok = vt >= 0
-        vt_safe = jnp.maximum(vt, 0)
-        U_l = U[vt_safe] * vt_ok[..., None, None]          # [L, V, 3, 2]
-        pose_l = p.obs_pose[vt_safe]                        # [L, V]
-        # A_{l,v} = U_{l,v} @ Hinv_l   [L, V, 3, 2]
-        A = jnp.einsum("lvab,lbc->lvac", U_l, Hinv)
-        # pairwise contributions: C_{l,v,u} = A_{l,v} @ U_{l,u}^T  [L,V,V,3,3]
-        C = jnp.einsum("lvab,lucb->lvuac", A, U_l)
-        # scatter into the dense [M, M, 3, 3] reduced Hessian
-        Hb = jnp.zeros((M, M, 3, 3), dtype)
-        rows = pose_l[:, :, None].repeat(V, 2).reshape(-1)
-        cols = pose_l[:, None, :].repeat(V, 1).reshape(-1)
-        Hb = Hb.at[rows, cols].add(-C.reshape(-1, 3, 3))
-        Hb = Hb.at[jnp.arange(M), jnp.arange(M)].add(Hpp)
-        # reduced rhs: b_s = bp - sum_o U_o Hinv_l bl_l  (per obs)
-        bs = bp.at[p.obs_pose].add(
-            -jnp.einsum("oab,obc,oc->oa", U, Hinv[p.obs_lm], bl[p.obs_lm])
-        )
-
-        H = Hb.transpose(0, 2, 1, 3).reshape(3 * M, 3 * M)
-        # gauge: anchor pose 0, damp
-        anchor = jnp.zeros(3 * M, dtype).at[:3].set(1e8)
-        H = H + jnp.diag(anchor + lam * (jnp.diag(H) + 1e-9))
-        delta_p = -jax.scipy.linalg.solve(H, bs.reshape(-1), assume_a="pos")
-        delta_p = delta_p.reshape(M, 3)
-        # back-substitute landmarks: dl = -Hinv (bl + Hlp dp), where
-        # (Hlp dp)_l = sum_{o in l} U_o^T dp_{m(o)}
-        Hlp_dp = jnp.zeros((L, 2), dtype).at[p.obs_lm].add(
-            jnp.einsum("oab,oa->ob", U, delta_p[p.obs_pose])
-        )
-        delta_l = -jnp.einsum("lab,lb->la", Hinv, bl + Hlp_dp)
+        delta_p = solve_reduced(H, bs, lam, dtype)
+        delta_l = back_substitute_landmarks(Hinv, bl, U, delta_p, p)
 
         cand_p = poses + delta_p
         cand_p = cand_p.at[:, 2].set(geo.wrap_angle(cand_p[:, 2]))

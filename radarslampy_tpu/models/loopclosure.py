@@ -33,6 +33,36 @@ from radarslampy_tpu.models.posegraph import PoseGraph, odometry_graph_from_map
 from radarslampy_tpu.ops import geometry as geo
 
 
+def trim_map_state(m: MapState, pad_multiple: int = 256) -> MapState:
+    """Host-side repack of the live keyframe prefix, padded to a multiple.
+
+    Back-end solvers (pose graph, BA) are O(M^2..M^3) in the *capacity* when
+    fed the raw preallocated store; trim to the live prefix first so a
+    4096-capacity map with 300 live keyframes costs 300-sized, not
+    4096-sized, solves.
+    """
+    import numpy as np
+
+    M_live = int(m.cursor)
+    M = max(pad_multiple, ((M_live + pad_multiple - 1) // pad_multiple) * pad_multiple)
+
+    def cut(a):
+        a = np.asarray(a)
+        out = np.zeros((M,) + a.shape[1:], a.dtype)
+        out[:M_live] = a[:M_live]
+        return jnp.asarray(out)
+
+    return MapState(
+        poses=cut(m.poses),
+        feat_world=cut(m.feat_world),
+        feat_local=cut(m.feat_local),
+        feat_ids=cut(m.feat_ids),
+        feat_mask=cut(m.feat_mask),
+        velocities=cut(m.velocities),
+        cursor=jnp.int32(M_live),
+    )
+
+
 class LoopCandidate(NamedTuple):
     i: jax.Array          # earlier keyframe index
     j: jax.Array          # later keyframe index

@@ -1,0 +1,172 @@
+"""Distributed Schur-complement bundle adjustment over the device mesh.
+
+Landmarks (with all their observations) are sharded along the `kf` axis; the
+Schur-reduced pose system is a *sum over landmarks* of independent
+contributions, so each device assembles its shard's [3M, 3M] partial with
+`models.ba.schur_reduced_system`, one `psum` over ICI reduces it, the damped
+anchor solve runs replicated, and landmark back-substitution is purely local.
+Mathematically identical to the single-device `optimize_ba`
+(tests/test_dist_ba.py asserts parity on the virtual CPU mesh).
+
+This realises the BASELINE.json north star: "distributed bundle/pose-graph
+adjustment via Schur-complement reduction with psum/all-gather collectives" —
+the component the reference only scaffolded on g2o (`PoseGraphLib.py:46-98`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from radarslampy_tpu.config import SlamConfig
+from radarslampy_tpu.models.ba import (
+    BAProblem,
+    back_substitute_landmarks,
+    ba_cost,
+    build_view_table,
+    schur_reduced_system,
+    solve_reduced,
+)
+from radarslampy_tpu.ops import geometry as geo
+from radarslampy_tpu.parallel.mesh import KF_AXIS
+
+
+def shard_ba_problem(p: BAProblem, n_shards: int) -> BAProblem:
+    """Host-side repack: landmarks (and their observations) split into
+    contiguous shards with per-shard padding, keeping global pose indices.
+
+    Returns a BAProblem whose landmark/observation arrays are padded so that
+    both L and O divide n_shards, with observations sorted by landmark so each
+    shard's landmark range owns a contiguous observation range.
+    """
+    obs_lm = np.asarray(p.obs_lm)
+    obs_pose = np.asarray(p.obs_pose)
+    obs_xy = np.asarray(p.obs_xy)
+    obs_mask = np.asarray(p.obs_mask)
+    L = p.landmarks.shape[0]
+
+    order = np.argsort(np.where(obs_mask, obs_lm, np.iinfo(np.int32).max),
+                       kind="stable")
+    obs_lm, obs_pose, obs_xy, obs_mask = (
+        obs_lm[order], obs_pose[order], obs_xy[order], obs_mask[order]
+    )
+
+    Lpad = ((L + n_shards - 1) // n_shards) * n_shards
+    per = Lpad // n_shards
+    shard_of_lm = np.clip(obs_lm // per, 0, n_shards - 1)
+
+    # per-shard observation ranges, padded to a common length
+    counts = np.bincount(np.where(obs_mask, shard_of_lm, 0),
+                         weights=obs_mask.astype(np.int64),
+                         minlength=n_shards).astype(np.int64)
+    per_obs = int(counts.max()) if len(counts) else 1
+    per_obs = max(per_obs, 1)
+
+    O2 = per_obs * n_shards
+    lm2 = np.zeros(O2, np.int32)
+    pose2 = np.zeros(O2, np.int32)
+    xy2 = np.zeros((O2, 2), np.float32)
+    mask2 = np.zeros(O2, bool)
+    fill = np.zeros(n_shards, np.int64)
+    for i in range(len(obs_lm)):
+        if not obs_mask[i]:
+            continue
+        sh = shard_of_lm[i]
+        j = sh * per_obs + fill[sh]
+        fill[sh] += 1
+        # landmark index local shifting happens on device via the shard offset
+        lm2[j] = obs_lm[i]
+        pose2[j] = obs_pose[i]
+        xy2[j] = obs_xy[i]
+        mask2[j] = True
+
+    lms = np.zeros((Lpad, 2), np.float32)
+    lms[:L] = np.asarray(p.landmarks)
+    lmask = np.zeros(Lpad, bool)
+    lmask[:L] = np.asarray(p.lm_mask)
+
+    return BAProblem(
+        poses=p.poses,
+        pose_mask=p.pose_mask,
+        landmarks=jnp.asarray(lms),
+        lm_mask=jnp.asarray(lmask),
+        obs_pose=jnp.asarray(pose2),
+        obs_lm=jnp.asarray(lm2),
+        obs_xy=jnp.asarray(xy2),
+        obs_mask=jnp.asarray(mask2),
+    )
+
+
+def optimize_ba_sharded(p: BAProblem, cfg: SlamConfig, mesh: Mesh,
+                        max_views_per_landmark: int = 8):
+    """LM bundle adjustment, landmark-sharded with psum-reduced pose system."""
+    n = mesh.shape[KF_AXIS]
+    p = shard_ba_problem(p, n)
+    hd = cfg.pg_huber_delta
+    dtype = p.poses.dtype
+    M = p.poses.shape[0]
+    Lper = p.landmarks.shape[0] // n
+
+    spec = BAProblem(
+        poses=P(),
+        pose_mask=P(),
+        landmarks=P(KF_AXIS),
+        lm_mask=P(KF_AXIS),
+        obs_pose=P(KF_AXIS),
+        obs_lm=P(KF_AXIS),
+        obs_xy=P(KF_AXIS),
+        obs_mask=P(KF_AXIS),
+    )
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=(P(), P(KF_AXIS), P()),
+        check_vma=False,
+    )
+    def solve(ps: BAProblem):
+        me = jax.lax.axis_index(KF_AXIS)
+        # localise landmark indices to this shard
+        local = ps._replace(obs_lm=ps.obs_lm - me * Lper)
+        vt = build_view_table(local, max_views_per_landmark)
+
+        def cost(poses, landmarks):
+            return jax.lax.psum(ba_cost(poses, landmarks, local, hd), KF_AXIS)
+
+        def lm_step(carry, _):
+            poses, landmarks, lam, c = carry
+            H, bs, Hinv, bl, U = schur_reduced_system(
+                poses, landmarks, local, vt, hd, lam, n_poses=M
+            )
+            H = jax.lax.psum(H, KF_AXIS)
+            bs = jax.lax.psum(bs, KF_AXIS)
+            delta_p = solve_reduced(H, bs, lam, dtype)
+            delta_l = back_substitute_landmarks(Hinv, bl, U, delta_p, local)
+            cand_p = poses + delta_p
+            cand_p = cand_p.at[:, 2].set(geo.wrap_angle(cand_p[:, 2]))
+            cand_l = landmarks + delta_l
+            nc = cost(cand_p, cand_l)
+            accept = nc < c
+            poses = jnp.where(accept, cand_p, poses)
+            landmarks = jnp.where(accept, cand_l, landmarks)
+            c = jnp.where(accept, nc, c)
+            lam = jnp.where(
+                accept, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 8.0, 1e7)
+            )
+            return (poses, landmarks, lam, c), None
+
+        init = (ps.poses, ps.landmarks, jnp.asarray(1e-3, dtype),
+                cost(ps.poses, ps.landmarks))
+        (poses, landmarks, _, c), _ = jax.lax.scan(
+            lm_step, init, None, length=cfg.pg_iterations
+        )
+        return poses, landmarks, c
+
+    return solve(p)

@@ -1,0 +1,58 @@
+"""Distributed (landmark-sharded) BA must match the single-device solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radarslampy_tpu.config import SlamConfig
+from radarslampy_tpu.models.ba import optimize_ba
+from radarslampy_tpu.parallel.dist_ba import optimize_ba_sharded, shard_ba_problem
+from radarslampy_tpu.parallel.mesh import make_mesh
+from tests.test_ba import _make_problem
+
+CFG = SlamConfig(pg_iterations=12)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8
+    return make_mesh(8)
+
+
+def test_shard_ba_problem_preserves_observations(rng):
+    p, _, _ = _make_problem(rng, M=6, L=40)
+    ps = shard_ba_problem(p, 8)
+    assert int(ps.obs_mask.sum()) == int(p.obs_mask.sum())
+    # every (pose, lm, xy) triple survives
+    def triples(q):
+        m = np.asarray(q.obs_mask)
+        return sorted(
+            zip(
+                np.asarray(q.obs_pose)[m].tolist(),
+                np.asarray(q.obs_lm)[m].tolist(),
+                map(tuple, np.asarray(q.obs_xy)[m].round(5).tolist()),
+            )
+        )
+    assert triples(p) == triples(ps)
+
+
+def test_sharded_ba_matches_dense(rng, mesh):
+    p, gt_poses, gt_lms = _make_problem(rng, M=6, L=40, pose_noise=0.3)
+    poses_1, lms_1, cost_1 = optimize_ba(p, CFG)
+    poses_n, lms_n, cost_n = optimize_ba_sharded(p, CFG, mesh)
+    np.testing.assert_allclose(np.asarray(poses_n), np.asarray(poses_1), atol=2e-3)
+    np.testing.assert_allclose(float(cost_n), float(cost_1), rtol=1e-2, atol=1e-4)
+    # and both near ground truth
+    err = np.linalg.norm(np.asarray(poses_n)[:, :2] - gt_poses[:, :2], axis=1)
+    assert err.mean() < 0.05
+
+
+def test_sharded_ba_noise(rng, mesh):
+    p, gt_poses, _ = _make_problem(rng, M=8, L=64, noise=0.05, pose_noise=0.5)
+    poses_n, _, _ = optimize_ba_sharded(p, CFG, mesh)
+    err = np.linalg.norm(np.asarray(poses_n)[:, :2] - gt_poses[:, :2], axis=1).mean()
+    init_err = np.linalg.norm(
+        np.asarray(p.poses)[:, :2] - gt_poses[:, :2], axis=1
+    ).mean()
+    assert err < init_err * 0.5
