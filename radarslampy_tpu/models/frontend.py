@@ -63,10 +63,17 @@ class FrameMaps(_NamedTuple):
 
     grid: GridMaps          # log-polar + reference bilinear maps
     routed: RoutedWarpMaps  # fast routed polar->cart warp
+    doh: jax.Array          # [n_sigma, S, S] Toeplitz blur operators for DoH
 
 
 def build_frame_maps(cfg: SlamConfig) -> FrameMaps:
-    return FrameMaps(grid=build_grid_maps(cfg), routed=build_routed_warp_maps(cfg))
+    from radarslampy_tpu.ops.pallas.doh_pallas import build_doh_mats
+
+    return FrameMaps(
+        grid=build_grid_maps(cfg),
+        routed=build_routed_warp_maps(cfg),
+        doh=build_doh_mats(cfg),
+    )
 
 
 class MapState(NamedTuple):
@@ -176,7 +183,7 @@ def init_state(polar0, init_pose, maps: FrameMaps, cfg: SlamConfig) -> SlamState
     """First-frame initialisation (RawROAMSystem.py:143-160): detect features,
     anchor them at the initial pose, write keyframe 0."""
     cart = routed_polar_to_cartesian(polar0, maps.routed)
-    cands = get_features(cart, cfg)
+    cands = get_features(cart, cfg, maps.doh)
     K = cfg.k_max
     coords = jnp.zeros((K, 2), cart.dtype)
     mask = jnp.zeros((K,), dtype=bool)
@@ -275,7 +282,7 @@ def slam_step(state: SlamState, polar, maps: FrameMaps, cfg: SlamConfig):
 
         def do_retrack(cm):
             c_, m2 = cm
-            cands = get_features(cart, cfg)
+            cands = get_features(cart, cfg, maps.doh)
             return merge_features(c_, m2, cands)
 
         coords2, mask2 = jax.lax.cond(

@@ -47,8 +47,15 @@ def gaussian_blur(img, sigma: float):
     x = img[None, None, :, :]
     kh = k.reshape(1, 1, 1, n)
     kv = k.reshape(1, 1, n, 1)
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(0, 0), (n // 2, n // 2)])
-    x = jax.lax.conv_general_dilated(x, kv, (1, 1), [(n // 2, n // 2), (0, 0)])
+    # HIGHEST precision: TPU's default reduced-precision conv loses ~40% of
+    # the DoH signal at large sigma once amplified by sigma^4 (see
+    # ops/pallas/doh_pallas.py — the fused Toeplitz-matmul path is preferred
+    # on TPU for this reason)
+    hp = jax.lax.Precision.HIGHEST
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(0, 0), (n // 2, n // 2)],
+                                     precision=hp)
+    x = jax.lax.conv_general_dilated(x, kv, (1, 1), [(n // 2, n // 2), (0, 0)],
+                                     precision=hp)
     return x[0, 0]
 
 
@@ -66,8 +73,24 @@ def _hessian_det(smoothed, sigma: float):
     return s4 * (ixx * iyy - ixy * ixy)
 
 
-def doh_response(img, cfg: SlamConfig):
-    """[n_sigma, H, W] scale-normalised DoH responses (getFeatures.py:13-18 params)."""
+def doh_response(img, cfg: SlamConfig, doh_mats=None):
+    """[n_sigma, H, W] scale-normalised DoH responses (getFeatures.py:13-18 params).
+
+    Three equivalent implementations (tests assert parity):
+      * conv path (default): separable XLA convolutions
+      * matmul path (doh_mats given): Toeplitz blur matmuls on the MXU
+      * fused Pallas kernel (doh_mats given, TPU backend): both matmuls + the
+        Hessian stencil in one VMEM-resident kernel (ops/pallas/doh_pallas.py)
+    """
+    if doh_mats is not None:
+        from radarslampy_tpu.ops.pallas.doh_pallas import (
+            doh_response_matmul,
+            doh_response_pallas,
+        )
+
+        if jax.default_backend() == "tpu":
+            return doh_response_pallas(img, doh_mats, cfg.doh_sigmas)
+        return doh_response_matmul(img, doh_mats, cfg.doh_sigmas)
     resps = []
     for sigma in cfg.doh_sigmas:
         sm = gaussian_blur(img, float(sigma))
@@ -82,9 +105,9 @@ class Candidates(NamedTuple):
     mask: jax.Array      # [N] bool validity
 
 
-def detect_blobs(img, cfg: SlamConfig) -> Candidates:
+def detect_blobs(img, cfg: SlamConfig, doh_mats=None) -> Candidates:
     """Fixed-budget DoH blob candidates (replaces `getBlobsFromCart`)."""
-    resp = doh_response(img, cfg)  # [S_, H, W]
+    resp = doh_response(img, cfg, doh_mats)  # [S_, H, W]
     ns, H, W = resp.shape
 
     # 3x3 spatial local max within each scale
@@ -153,9 +176,9 @@ def anms_cell_cover(cands: Candidates, cfg: SlamConfig, image_size: int) -> Cand
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def get_features(img, cfg: SlamConfig) -> Candidates:
+def get_features(img, cfg: SlamConfig, doh_mats=None) -> Candidates:
     """DoH + ANMS, the jitted equivalent of `getFeatures` (`getFeatures.py:74-95`)."""
-    cands = detect_blobs(img, cfg)
+    cands = detect_blobs(img, cfg, doh_mats)
     return anms_cell_cover(cands, cfg, img.shape[-1])
 
 
