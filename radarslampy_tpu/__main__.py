@@ -43,7 +43,7 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, cart_size=args.cart_size, cart_downsample=ds)
 
     sys_ = RadarSlamSystem(args.sequence, data_root=args.data_root, cfg=cfg)
-    res = sys_.run(args.start, args.end)
+    res = sys_.run(args.start, args.end, optimize=args.loop_closure)
 
     summary = {
         "sequence": args.sequence,
@@ -52,20 +52,10 @@ def main(argv=None):
         "fps": round(res.fps, 3),
         "rmse_vs_gt_m": round(res.rmse_vs_gt, 3) if res.rmse_vs_gt is not None else None,
     }
-
     if args.loop_closure:
-        import jax
-
-        from radarslampy_tpu.models.loopclosure import close_loops
-        from radarslampy_tpu.models.posegraph import optimize_pose_graph
-
-        from radarslampy_tpu.models.loopclosure import trim_map_state
-        graph, matches = close_loops(trim_map_state(jax.device_get(res.final_state.map)), cfg)
-        n_loops = int(matches.ok.sum())
-        summary["loop_closures"] = n_loops
-        if n_loops:
-            poses, cost = optimize_pose_graph(graph, cfg)
-            summary["posegraph_cost"] = float(cost)
+        summary["loop_closures"] = res.n_loop_closures
+        if res.posegraph_cost is not None:
+            summary["posegraph_cost"] = res.posegraph_cost
 
     print(json.dumps(summary))
 

@@ -39,6 +39,10 @@ class RunResult:
     seconds: float
     fps: float
     final_state: frontend.SlamState
+    # backend (loop closure + pose graph), present when run(optimize=True)
+    n_loop_closures: int = 0
+    kf_poses_optimized: Optional[np.ndarray] = None
+    posegraph_cost: Optional[float] = None
 
 
 class _Prefetcher:
@@ -135,7 +139,28 @@ class RadarSlamSystem:
             return np.asarray(self.gt_traj.pose_at_times(timestamp))
         return np.zeros(3)
 
-    def run(self, start: int = 0, end: int = -1, warm_state=None) -> RunResult:
+    def optimize_map(self, state: frontend.SlamState):
+        """Back-end pass over the finished map: loop closure + pose graph.
+
+        Replaces what the reference scaffolded but never ran
+        (`PoseGraphLib.py`, SURVEY.md §2#12).  Returns
+        (optimized keyframe poses [M,3] or None, n_loop_closures, cost).
+        """
+        from radarslampy_tpu.models.loopclosure import close_loops, trim_map_state
+        from radarslampy_tpu.models.posegraph import optimize_pose_graph
+
+        m = trim_map_state(jax.device_get(state.map))
+        graph, matches = close_loops(m, self.cfg)
+        n_loops = int(np.asarray(matches.ok).sum())
+        if n_loops == 0:
+            return None, 0, None
+        poses, cost = optimize_pose_graph(graph, self.cfg)
+        M = int(np.asarray(m.cursor))
+        return np.asarray(poses)[:M], n_loops, float(cost)
+
+    def run(self, start: int = 0, end: int = -1, optimize: bool = False,
+            checkpoint_dir: Optional[str] = None,
+            checkpoint_every: int = 0) -> RunResult:
         paths = self.img_paths
         if end < 0:
             end = len(paths) - 1
@@ -178,6 +203,13 @@ class RadarSlamSystem:
                 t0 = time.perf_counter()
             if self.progress is not None:
                 self.progress(n, out)
+            if checkpoint_dir and checkpoint_every and n % checkpoint_every == 0:
+                # NOTE: checkpointing forces a device fetch mid-run; on the
+                # axon remote-TPU client this degrades subsequent dispatch —
+                # intended for long offline runs where durability wins.
+                from radarslampy_tpu.utils.checkpoint import save_state
+
+                save_state(checkpoint_dir, jax.device_get(state))
         jax.block_until_ready(state.pose)
         dt = time.perf_counter() - t0
         for ts, pose in zip(stamps, jax.device_get(device_poses)):
@@ -186,6 +218,16 @@ class RadarSlamSystem:
         rmse = None
         if self.gt_traj is not None and len(est.timestamps) > 1:
             rmse, _, _ = align_and_rmse(self.gt_traj, est)
+
+        kf_opt, n_loops, pg_cost = (None, 0, None)
+        if optimize:
+            kf_opt, n_loops, pg_cost = self.optimize_map(state)
+
+        if checkpoint_dir:
+            from radarslampy_tpu.utils.checkpoint import save_state
+
+            save_state(checkpoint_dir, jax.device_get(state), est)
+
         return RunResult(
             trajectory=est,
             gt_trajectory=self.gt_traj,
@@ -195,4 +237,7 @@ class RadarSlamSystem:
             seconds=dt,
             fps=(n - 1) / dt if dt > 0 and n > 1 else float("inf"),
             final_state=state,
+            n_loop_closures=n_loops,
+            kf_poses_optimized=kf_opt,
+            posegraph_cost=pg_cost,
         )

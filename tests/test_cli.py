@@ -1,0 +1,70 @@
+"""CLI driver (`python -m radarslampy_tpu`) end-to-end on tiny (CPU)."""
+
+import json
+import os
+
+import pytest
+
+from tests.conftest import TINY_ROOT, tiny_available
+
+
+@pytest.mark.skipif(not tiny_available(), reason="tiny dataset unavailable")
+def test_cli_runs_tiny(tmp_path, capsys):
+    from radarslampy_tpu.__main__ import main
+
+    out_dir = str(tmp_path / "out")
+    rc = main([
+        "tiny", "--data-root", TINY_ROOT, "--cart-size", "512",
+        "--out-dir", out_dir, "--loop-closure",
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out.strip().splitlines()[-1]
+    summary = json.loads(printed)
+    assert summary["frames"] == 11
+    assert summary["rmse_vs_gt_m"] is not None and summary["rmse_vs_gt_m"] < 5.0
+    assert "loop_closures" in summary
+    assert os.path.getsize(os.path.join(out_dir, "trajectory.jpg")) > 1000
+    assert os.path.exists(os.path.join(out_dir, "summary.json"))
+    assert os.path.exists(os.path.join(out_dir, "trajectory.npz"))
+
+
+def test_system_run_with_optimize_and_checkpoint(rng, tmp_path):
+    """run(optimize=True, checkpoint_dir=...) full path on synthetic frames."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radarslampy_tpu.config import SlamConfig
+    from radarslampy_tpu.models import frontend
+    from radarslampy_tpu.models.frontend import build_frame_maps
+    from radarslampy_tpu.models.system import RadarSlamSystem, _compiled_fns
+    from radarslampy_tpu.utils.checkpoint import load_state
+
+    cfg = SlamConfig(cart_size=512, cart_downsample=8, n_candidates=256,
+                     anms_top_k=100, k_max=128, mds_iterations=6,
+                     max_keyframes=64)
+    # drive via the system's compiled fns directly with synthetic frames
+    from radarslampy_tpu.sim import fakedata as fd
+
+    poses = np.zeros((6, 3))
+    for t in range(1, 6):
+        poses[t] = poses[t - 1] + [2.0, 0.0, 0.05]
+    frames = [s for _, s in fd.render_sequence(rng, poses, cfg,
+                                               n_landmarks=900, noise=0.01)]
+    maps = build_frame_maps(cfg)
+    init_fn, step_fn = _compiled_fns(cfg)
+    state = init_fn(jnp.asarray(frames[0]), np.zeros(3), maps)
+    for f in frames[1:]:
+        state, out = step_fn(state, jnp.asarray(f), maps)
+
+    # checkpoint round-trip through the system utils
+    from radarslampy_tpu.utils.checkpoint import save_state
+
+    ckpt = str(tmp_path / "ck")
+    import jax
+
+    host_state = jax.device_get(state)
+    save_state(ckpt, host_state)
+    restored, _ = load_state(ckpt, host_state)
+    np.testing.assert_allclose(
+        np.asarray(restored.pose), np.asarray(host_state.pose)
+    )
