@@ -86,6 +86,14 @@ class SlamConfig:
     pg_iterations: int = 20
     pg_huber_delta: float = 1.0
 
+    # ---- place recognition (scan-context descriptors; models/placerecog.py) ----
+    # The reference stored per-keyframe point clouds intended for M2DP
+    # descriptors but never built them (Mapping.py:62, paper "Future work").
+    sc_rings: int = 16                  # range rings per descriptor
+    sc_sectors: int = 80                # azimuth sectors (must divide num_azimuths)
+    sc_max_distance: float = 0.35       # acceptance gate on scan-context distance
+    loop_method: str = "both"           # candidates: "pose" | "appearance" | "both"
+
     # ---- point cloud per keyframe (getPointCloud.py:28-52) ----
     pc_peaks_per_azimuth: int = 8       # padded peaks kept per azimuth
 

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from typing import NamedTuple as _NamedTuple
 
 from radarslampy_tpu.config import SlamConfig
+from radarslampy_tpu.models.placerecog import scan_context
 from radarslampy_tpu.ops import geometry as geo
 from radarslampy_tpu.ops.features import Candidates, get_features, merge_features
 from radarslampy_tpu.ops.fmt import estimate_rotation_fmt
@@ -91,6 +92,7 @@ class MapState(NamedTuple):
     feat_mask: jax.Array    # [M, K]
     velocities: jax.Array   # [M, 3]
     cursor: jax.Array       # int32 — number of live keyframes
+    descriptors: jax.Array  # [M, R, S] scan-context place-recognition signatures
 
 
 class SlamState(NamedTuple):
@@ -137,6 +139,7 @@ def empty_map(cfg: SlamConfig, dtype=jnp.float32) -> MapState:
         feat_mask=jnp.zeros((M, K), dtype=bool),
         velocities=jnp.zeros((M, 3), dtype),
         cursor=jnp.int32(0),
+        descriptors=jnp.zeros((M, cfg.sc_rings, cfg.sc_sectors), dtype),
     )
 
 
@@ -165,7 +168,7 @@ def _features_to_world(px, mask, pose, velocity, cfg: SlamConfig):
 
 
 def _write_keyframe(m: MapState, pose, feat_world, feat_local, feat_ids,
-                    feat_mask, velocity) -> MapState:
+                    feat_mask, velocity, descriptor) -> MapState:
     c = jnp.minimum(m.cursor, m.poses.shape[0] - 1)
     upd = jax.lax.dynamic_update_index_in_dim
     return MapState(
@@ -176,6 +179,7 @@ def _write_keyframe(m: MapState, pose, feat_world, feat_local, feat_ids,
         feat_mask=upd(m.feat_mask, feat_mask, c, 0),
         velocities=upd(m.velocities, velocity, c, 0),
         cursor=jnp.minimum(m.cursor + 1, jnp.int32(m.poses.shape[0])),
+        descriptors=upd(m.descriptors, descriptor, c, 0),
     )
 
 
@@ -196,7 +200,8 @@ def init_state(polar0, init_pose, maps: FrameMaps, cfg: SlamConfig) -> SlamState
     vel = jnp.zeros(3, cart.dtype)
     feat_local, feat_world = _features_to_world(coords, mask, pose, vel, cfg)
     m = _write_keyframe(
-        empty_map(cfg, cart.dtype), pose, feat_world, feat_local, ids, mask, vel
+        empty_map(cfg, cart.dtype), pose, feat_world, feat_local, ids, mask, vel,
+        scan_context(polar0, cfg),
     )
     return SlamState(
         pose=pose,
@@ -290,7 +295,8 @@ def slam_step(state: SlamState, polar, maps: FrameMaps, cfg: SlamConfig):
         )
         ids2, next2 = assign_new_ids(mask_in, mask2, state.feat_id, state.next_id)
         fl, fw = _features_to_world(coords2, mask2, pose_, vel_, cfg)
-        m2_ = _write_keyframe(m_, pose_, fw, fl, ids2, mask2, vel_)
+        m2_ = _write_keyframe(m_, pose_, fw, fl, ids2, mask2, vel_,
+                              scan_context(polar, cfg))
         return coords2, mask2, ids2, next2, fw, pose_, m2_
 
     def plain_branch(op):

@@ -60,6 +60,7 @@ def trim_map_state(m: MapState, pad_multiple: int = 256) -> MapState:
         feat_mask=cut(m.feat_mask),
         velocities=cut(m.velocities),
         cursor=jnp.int32(M_live),
+        descriptors=cut(m.descriptors),
     )
 
 
@@ -140,8 +141,14 @@ def icp_align(pts_i, mask_i, pts_j, mask_j, init_rel,
 
 
 def verify_candidate(m: MapState, i, j, cfg: SlamConfig,
-                     min_matches: int = 12, max_residual_m: float = 1.0):
-    """ICP-verify one candidate pair; initial guess from current (drifted) poses."""
+                     min_matches: int = 12, max_residual_m: float = 1.0,
+                     rot_override=None):
+    """ICP-verify one candidate pair; initial guess from current (drifted) poses.
+
+    `rot_override` (optional traced scalar) replaces the heading component of
+    the initial guess — used by appearance candidates, whose scan-context
+    alignment shift is a far better rotation prior than drifted odometry.
+    """
     pi = m.poses[i]
     pj = m.poses[j]
     # conditioned relative pose guess
@@ -151,6 +158,11 @@ def verify_candidate(m: MapState, i, j, cfg: SlamConfig,
         [c0 * d[0] + s0 * d[1], -s0 * d[0] + c0 * d[1],
          geo.wrap_angle(pj[2] - pi[2])]
     )
+    if rot_override is not None:
+        # NaN marks "no appearance prior": keep the pose-derived heading.
+        init_rel = init_rel.at[2].set(
+            jnp.where(jnp.isfinite(rot_override), rot_override, init_rel[2])
+        )
     match = icp_align(
         m.feat_local[i], m.feat_mask[i], m.feat_local[j], m.feat_mask[j],
         init_rel,
@@ -163,28 +175,67 @@ def verify_candidate(m: MapState, i, j, cfg: SlamConfig,
 
 def close_loops(m: MapState, cfg: SlamConfig, max_candidates: int = 16,
                 radius_m: float = 10.0, min_index_gap: int = 20,
-                loop_info=(50.0, 50.0, 200.0)) -> PoseGraph:
+                loop_info=(50.0, 50.0, 200.0), method: str | None = None):
     """Full loop-closure pass: candidates -> ICP verify -> pose graph with
-    odometry chain + accepted loop edges (ready to optimise)."""
-    cands = find_candidates(m.poses, m.cursor, max_candidates, radius_m,
-                            min_index_gap)
+    odometry chain + accepted loop edges (ready to optimise).
 
-    def verify_one(i, j, valid):
-        match = verify_candidate(m, i, j, cfg)
+    `method` (default `cfg.loop_method`) picks the candidate source:
+      * "pose"       — pose-proximity search (needs small drift)
+      * "appearance" — scan-context retrieval (drift-independent; the
+                       reference's unbuilt "M2DP descriptors" future work)
+      * "both"       — union, appearance pairs deduplicated against pose pairs
+    """
+    from radarslampy_tpu.models.placerecog import find_candidates_appearance
+
+    method = method or cfg.loop_method
+    assert method in ("pose", "appearance", "both"), method
+
+    cand_i, cand_j, cand_valid, cand_rot = [], [], [], []
+    if method in ("pose", "both"):
+        c = find_candidates(m.poses, m.cursor, max_candidates, radius_m,
+                            min_index_gap)
+        cand_i.append(c.i)
+        cand_j.append(c.j)
+        cand_valid.append(c.valid)
+        cand_rot.append(jnp.full(max_candidates, jnp.nan, m.poses.dtype))
+    if method in ("appearance", "both"):
+        a = find_candidates_appearance(
+            m.descriptors, m.cursor, max_candidates,
+            min_index_gap=min_index_gap, max_distance=cfg.sc_max_distance,
+        )
+        valid = a.valid
+        if method == "both":  # drop appearance pairs the pose search already has
+            dup = jnp.any(
+                (a.i[:, None] == cand_i[0][None, :])
+                & (a.j[:, None] == cand_j[0][None, :])
+                & cand_valid[0][None, :],
+                axis=1,
+            )
+            valid = valid & ~dup
+        cand_i.append(a.i)
+        cand_j.append(a.j)
+        cand_valid.append(valid)
+        cand_rot.append(a.rot_init)
+
+    ci = jnp.concatenate(cand_i)
+    cj = jnp.concatenate(cand_j)
+    cvalid = jnp.concatenate(cand_valid)
+    crot = jnp.concatenate(cand_rot)
+    C = int(ci.shape[0])
+
+    def verify_one(i, j, valid, rot):
+        match = verify_candidate(m, i, j, cfg, rot_override=rot)
         return match._replace(ok=match.ok & valid)
 
-    matches = jax.vmap(verify_one)(cands.i, cands.j, cands.valid)
+    matches = jax.vmap(verify_one)(ci, cj, cvalid, crot)
 
     base = odometry_graph_from_map(m.poses, m.cursor,
-                                   max_edges=m.poses.shape[0] + max_candidates)
+                                   max_edges=m.poses.shape[0] + C)
     E0 = m.poses.shape[0]
-    ij = base.edges_ij.at[E0:].set(
-        jnp.stack([cands.i, cands.j], axis=1)
-    )
+    ij = base.edges_ij.at[E0:].set(jnp.stack([ci, cj], axis=1))
     meas = base.edges_meas.at[E0:].set(matches.rel_pose)
     info = base.edges_info.at[E0:].set(
-        jnp.broadcast_to(jnp.asarray(loop_info, base.edges_meas.dtype),
-                         (max_candidates, 3))
+        jnp.broadcast_to(jnp.asarray(loop_info, base.edges_meas.dtype), (C, 3))
     )
     emask = base.edge_mask.at[E0:].set(matches.ok)
     return base._replace(edges_ij=ij, edges_meas=meas, edges_info=info,

@@ -101,6 +101,7 @@ def test_build_ba_problem_from_map(rng):
         feat_mask=jnp.asarray(mask),
         velocities=jnp.zeros((M_cap, 3), jnp.float32),
         cursor=jnp.int32(cursor),
+        descriptors=jnp.zeros((M_cap, 16, 80), jnp.float32),
     )
     p = build_ba_problem(ms, min_views=2)
     assert int(p.lm_mask.sum()) == 1           # only landmark 7 kept

@@ -81,6 +81,7 @@ def _loop_map(rng, n=30, drift=0.4):
         feat_mask=jnp.zeros((M, K), dtype=bool),
         velocities=jnp.zeros((M, 3), jnp.float32),
         cursor=jnp.int32(len(gt)),
+        descriptors=jnp.zeros((M, 16, 80), jnp.float32),
     )
     poses_est = gt.copy()
     # linear drift along the run

@@ -51,6 +51,7 @@ def _toy_map(M=64, K=8):
         feat_mask=jnp.asarray(fm),
         velocities=jnp.zeros((M, 3), jnp.float32),
         cursor=jnp.int32(40),
+        descriptors=jnp.asarray(rng.uniform(size=(M, 16, 80)).astype(np.float32)),
     )
 
 
