@@ -151,3 +151,57 @@ def _associate(kf_poses, poses_gt, est_frames):
         j = np.argmin(np.linalg.norm(est_frames[:, :2] - kp[:2], axis=1))
         gt[i] = poses_gt[j]
     return gt
+
+
+def main(argv=None):
+    """CLI: long-sequence eval on real GT motion.
+
+    Example (a real revisit loop of full_seq_1 — frame 1370 passes within
+    2 m of frame 1069):
+        python -m radarslampy_tpu.evaluation --start 1040 --count 360 --backend
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--gt-csv",
+                   default="/root/reference/data/full_seq_1/gt/radar_odometry.csv")
+    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--count", type=int, default=200)
+    p.add_argument("--stride", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--noise", type=float, default=0.02)
+    p.add_argument("--backend", action="store_true",
+                   help="run loop closure + pose graph after odometry")
+    p.add_argument("--loop-method", default=None,
+                   choices=("pose", "appearance", "both"))
+    p.add_argument("--cart-size", type=int, default=1024)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--progress-every", type=int, default=50)
+    a = p.parse_args(argv)
+
+    if a.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    kw = {"cart_size": a.cart_size,
+          "cart_downsample": 4096 // a.cart_size}
+    if a.loop_method:
+        kw["loop_method"] = a.loop_method
+    cfg = SlamConfig(**kw)
+    poses = gt_subsequence(a.gt_csv, a.start, a.count, a.stride)
+    dist = float(np.sum(np.linalg.norm(np.diff(poses[:, :2], axis=0), axis=1)))
+    print(f"eval: {len(poses)} frames, {dist:.0f} m path, "
+          f"cart {a.cart_size}, loop_method {cfg.loop_method}")
+    res = evaluate_sequence(poses, cfg, seed=a.seed, run_backend=a.backend,
+                            noise=a.noise, progress_every=a.progress_every)
+    print(f"odometry ATE {res.ate_odometry:.2f} m over {res.frames} frames "
+          f"({res.fps:.1f} fps), {res.n_keyframes} keyframes")
+    if a.backend:
+        print(f"loop closures: {res.n_loop_closures}; keyframe ATE "
+              f"{res.ate_keyframes_before:.2f} -> {res.ate_keyframes_after} m")
+    return res
+
+
+if __name__ == "__main__":
+    main()
