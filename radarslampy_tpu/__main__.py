@@ -24,6 +24,8 @@ def main(argv=None):
     ap.add_argument("--out-dir", default=None, help="save trajectory plot + json here")
     ap.add_argument("--loop-closure", action="store_true",
                     help="run loop-closure + pose-graph optimisation at the end")
+    ap.add_argument("--ba", action="store_true",
+                    help="also run Schur-complement bundle adjustment")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args(argv)
 
@@ -43,7 +45,7 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, cart_size=args.cart_size, cart_downsample=ds)
 
     sys_ = RadarSlamSystem(args.sequence, data_root=args.data_root, cfg=cfg)
-    res = sys_.run(args.start, args.end, optimize=args.loop_closure)
+    res = sys_.run(args.start, args.end, optimize=args.loop_closure, ba=args.ba)
 
     summary = {
         "sequence": args.sequence,
@@ -56,6 +58,9 @@ def main(argv=None):
         summary["loop_closures"] = res.n_loop_closures
         if res.posegraph_cost is not None:
             summary["posegraph_cost"] = res.posegraph_cost
+    if args.ba and res.ba_cost is not None:
+        summary["ba_cost"] = res.ba_cost
+        summary["ba_landmarks"] = int(len(res.landmarks_ba))
 
     print(json.dumps(summary))
 

@@ -43,6 +43,10 @@ class RunResult:
     n_loop_closures: int = 0
     kf_poses_optimized: Optional[np.ndarray] = None
     posegraph_cost: Optional[float] = None
+    # bundle adjustment (run(optimize=True, ba=True))
+    kf_poses_ba: Optional[np.ndarray] = None
+    landmarks_ba: Optional[np.ndarray] = None
+    ba_cost: Optional[float] = None
 
 
 class _Prefetcher:
@@ -139,12 +143,16 @@ class RadarSlamSystem:
             return np.asarray(self.gt_traj.pose_at_times(timestamp))
         return np.zeros(3)
 
-    def optimize_map(self, state: frontend.SlamState):
-        """Back-end pass over the finished map: loop closure + pose graph.
+    def optimize_map(self, state: frontend.SlamState, ba: bool = False):
+        """Back-end pass over the finished map: loop closure + pose graph,
+        optionally followed by Schur-complement bundle adjustment over the
+        persistent landmarks.
 
         Replaces what the reference scaffolded but never ran
-        (`PoseGraphLib.py`, SURVEY.md §2#12).  Returns
-        (optimized keyframe poses [M,3] or None, n_loop_closures, cost).
+        (`PoseGraphLib.py:5-98` — both its pose graph AND its
+        `BundleAdjustment` class, SURVEY.md §2#12).  Returns
+        (pose-graph keyframe poses [M,3] or None, n_loop_closures, pg cost,
+         ba keyframe poses or None, ba landmarks or None, ba cost or None).
         """
         from radarslampy_tpu.models.loopclosure import close_loops, trim_map_state
         from radarslampy_tpu.models.posegraph import optimize_pose_graph
@@ -152,14 +160,46 @@ class RadarSlamSystem:
         m = trim_map_state(jax.device_get(state.map))
         graph, matches = close_loops(m, self.cfg)
         n_loops = int(np.asarray(matches.ok).sum())
-        if n_loops == 0:
-            return None, 0, None
-        poses, cost = optimize_pose_graph(graph, self.cfg)
         M = int(np.asarray(m.cursor))
-        return np.asarray(poses)[:M], n_loops, float(cost)
+        kf_pg, pg_cost = (None, None)
+        if n_loops > 0:
+            poses, cost = optimize_pose_graph(graph, self.cfg)
+            kf_pg, pg_cost = np.asarray(poses)[:M], float(cost)
+
+        kf_ba, lm_ba, ba_cost = (None, None, None)
+        if ba:
+            from radarslampy_tpu.models.ba import build_ba_problem, optimize_ba
+
+            if kf_pg is not None:
+                # seed BA from the loop-corrected poses; world-space landmark
+                # inits must be refreshed to match (they were anchored to the
+                # drifted odometry poses)
+                poses_new = np.asarray(m.poses).copy()
+                poses_new[:M] = kf_pg
+                c = np.cos(poses_new[:, 2])[:, None]
+                s = np.sin(poses_new[:, 2])[:, None]
+                local = np.asarray(m.feat_local)
+                fw = np.stack(
+                    [
+                        c * local[..., 0] - s * local[..., 1] + poses_new[:, 0:1],
+                        s * local[..., 0] + c * local[..., 1] + poses_new[:, 1:2],
+                    ],
+                    axis=-1,
+                ) * np.asarray(m.feat_mask)[..., None]
+                m = m._replace(
+                    poses=jax.numpy.asarray(poses_new),
+                    feat_world=jax.numpy.asarray(fw.astype(local.dtype)),
+                )
+            problem = build_ba_problem(m, min_views=2)
+            if int(np.asarray(problem.lm_mask).sum()) > 0:
+                poses_b, lms, cost_b = optimize_ba(problem, self.cfg)
+                kf_ba = np.asarray(poses_b)[:M]
+                lm_ba = np.asarray(lms)[np.asarray(problem.lm_mask)]
+                ba_cost = float(cost_b)
+        return kf_pg, n_loops, pg_cost, kf_ba, lm_ba, ba_cost
 
     def run(self, start: int = 0, end: int = -1, optimize: bool = False,
-            checkpoint_dir: Optional[str] = None,
+            ba: bool = False, checkpoint_dir: Optional[str] = None,
             checkpoint_every: int = 0) -> RunResult:
         paths = self.img_paths
         if end < 0:
@@ -220,8 +260,11 @@ class RadarSlamSystem:
             rmse, _, _ = align_and_rmse(self.gt_traj, est)
 
         kf_opt, n_loops, pg_cost = (None, 0, None)
-        if optimize:
-            kf_opt, n_loops, pg_cost = self.optimize_map(state)
+        kf_ba, lm_ba, ba_cost = (None, None, None)
+        if optimize or ba:
+            kf_opt, n_loops, pg_cost, kf_ba, lm_ba, ba_cost = self.optimize_map(
+                state, ba=ba
+            )
 
         if checkpoint_dir:
             from radarslampy_tpu.utils.checkpoint import save_state
@@ -240,4 +283,7 @@ class RadarSlamSystem:
             n_loop_closures=n_loops,
             kf_poses_optimized=kf_opt,
             posegraph_cost=pg_cost,
+            kf_poses_ba=kf_ba,
+            landmarks_ba=lm_ba,
+            ba_cost=ba_cost,
         )

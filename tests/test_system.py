@@ -30,7 +30,7 @@ def test_tiny_sequence_runs_and_tracks():
     sys_ = RadarSlamSystem("tiny", data_root=TINY_ROOT, cfg=CPU_CFG)
     outs = []
     sys_.progress = lambda i, o: outs.append(o)
-    res = sys_.run()
+    res = sys_.run(optimize=True, ba=True)
     assert res.frames == 11
     assert res.n_keyframes >= 1
     # tracking must be healthy on real data
@@ -45,6 +45,15 @@ def test_tiny_sequence_runs_and_tracks():
     # ATE vs GT over the covered window
     assert res.rmse_vs_gt is not None
     assert res.rmse_vs_gt < 5.0, f"ATE {res.rmse_vs_gt:.2f} m too high on tiny"
+    # bundle adjustment ran over the persistent landmarks and stayed sane:
+    # refined keyframe poses must remain close to the odometry keyframes
+    # (11 frames, negligible drift — BA must not tear the map apart)
+    assert res.kf_poses_ba is not None
+    assert res.landmarks_ba is not None and len(res.landmarks_ba) > 10
+    kf_odo = np.asarray(res.final_state.map.poses)[: res.n_keyframes]
+    assert np.linalg.norm(
+        res.kf_poses_ba[:, :2] - kf_odo[:, :2], axis=1
+    ).max() < 2.0
 
 
 def test_synthetic_sequence_odometry(rng):
