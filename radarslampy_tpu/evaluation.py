@@ -33,6 +33,9 @@ class EvalResult:
     n_loop_closures: int = 0
     ate_keyframes_before: Optional[float] = None
     ate_keyframes_after: Optional[float] = None
+    final_state: object = None       # SlamState when return_state=True
+    est_frames: Optional[np.ndarray] = None
+    gt_keyframes: Optional[np.ndarray] = None
 
 
 def gt_subsequence(gt_csv: str, start: int, count: int, stride: int = 1):
@@ -57,6 +60,7 @@ def evaluate_sequence(
     run_backend: bool = False,
     noise: float = 0.02,
     progress_every: int = 0,
+    return_state: bool = False,
 ):
     """Render scans along poses_gt, run SLAM, report ATE (+backend ATE)."""
     import jax
@@ -120,6 +124,9 @@ def evaluate_sequence(
         ate_odometry=ate,
         n_keyframes=int(state.map.cursor),
     )
+    if return_state:
+        res.final_state = state
+        res.est_frames = est
 
     if run_backend:
         from radarslampy_tpu.models.loopclosure import close_loops, trim_map_state
@@ -135,6 +142,7 @@ def evaluate_sequence(
         # — here we simply compare each keyframe pose against the closest GT
         # pose in sequence order.
         gt_kf = _associate(kf_poses_before, poses_gt, est)
+        res.gt_keyframes = gt_kf
         res.ate_keyframes_before = compute_rmse(gt_kf, kf_poses_before)
         if res.n_loop_closures > 0:
             opt_poses, _ = optimize_pose_graph(graph, cfg)
