@@ -242,7 +242,15 @@ def optimize_ba(p: BAProblem, cfg: SlamConfig, max_views_per_landmark: int = 8):
     the same landmark.  We bound the views per landmark (`max_views_per_landmark`)
     and enumerate view pairs with a static [L, V, V] pattern — exact for
     landmarks with <= V views.
+
+    float32 matmul precision: see optimize_pose_graph (models/posegraph.py) —
+    the TPU MXU's reduced-precision default stalls the anchored reduced solve.
     """
+    with jax.default_matmul_precision("float32"):
+        return _optimize_ba(p, cfg, max_views_per_landmark)
+
+
+def _optimize_ba(p: BAProblem, cfg: SlamConfig, max_views_per_landmark: int = 8):
     hd = cfg.pg_huber_delta
     dtype = p.poses.dtype
     view_table = build_view_table(p, max_views_per_landmark)

@@ -125,7 +125,18 @@ def graph_cost(poses, g: PoseGraph, huber_delta: float):
 
 
 def optimize_pose_graph(g: PoseGraph, cfg: SlamConfig):
-    """Fixed-budget LM over the whole graph; returns (poses, final_cost)."""
+    """Fixed-budget LM over the whole graph; returns (poses, final_cost).
+
+    Runs under float32 matmul precision: the [3M, 3M] normal-equation solve is
+    ill-conditioned (1e8 gauge anchor on node 0) and the TPU MXU's default
+    reduced-precision passes stall LM far from the optimum — measured 5.98 m
+    vs 2.23 m keyframe ATE on a real 447 m loop of full_seq_1 GT motion.
+    """
+    with jax.default_matmul_precision("float32"):
+        return _optimize_pose_graph(g, cfg)
+
+
+def _optimize_pose_graph(g: PoseGraph, cfg: SlamConfig):
     hd = cfg.pg_huber_delta
     dtype = g.poses.dtype
 

@@ -47,6 +47,12 @@ class RunResult:
     kf_poses_ba: Optional[np.ndarray] = None
     landmarks_ba: Optional[np.ndarray] = None
     ba_cost: Optional[float] = None
+    # per-run health (failure detection the reference lacks, SURVEY.md §5.3):
+    # frames where the rigid fit degenerated (fell back to the SVD pose) and
+    # the worst per-frame inlier count — a collapsing track is the SLAM
+    # failure mode worth alerting on.
+    n_fit_failures: int = 0
+    min_inliers: int = 0
 
 
 class _Prefetcher:
@@ -232,11 +238,12 @@ class RadarSlamSystem:
         # completes on device.
         t0 = time.perf_counter()
         n = 0
-        stamps, device_poses = [], []
+        stamps, device_poses, device_health = [], [], []
         for frame in it:
             state, out = self._step_fn(state, frame.power, self.maps)
             stamps.append(frame.frame_timestamp)
             device_poses.append(out.pose)
+            device_health.append((out.n_inliers, out.fit_ok))
             n += 1
             if n == 1:
                 jax.block_until_ready(out.pose)
@@ -254,6 +261,9 @@ class RadarSlamSystem:
         dt = time.perf_counter() - t0
         for ts, pose in zip(stamps, jax.device_get(device_poses)):
             est.append(ts, pose)
+        health = jax.device_get(device_health)
+        inlier_counts = np.array([int(h[0]) for h in health]) if health else np.array([0])
+        n_fit_failures = sum(1 for h in health if not bool(h[1]))
 
         rmse = None
         if self.gt_traj is not None and len(est.timestamps) > 1:
@@ -286,4 +296,6 @@ class RadarSlamSystem:
             kf_poses_ba=kf_ba,
             landmarks_ba=lm_ba,
             ba_cost=ba_cost,
+            n_fit_failures=n_fit_failures,
+            min_inliers=int(inlier_counts.min()),
         )

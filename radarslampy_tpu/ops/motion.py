@@ -110,7 +110,16 @@ def solve_motion(
     mask,         # [K] validity
     cfg: SlamConfig,
 ) -> MotionSolution:
-    """Fixed-budget LM over [v; x, y, theta] (replaces `optimize_library`)."""
+    """Fixed-budget LM over [v; x, y, theta] (replaces `optimize_library`).
+
+    float32 matmul precision on the J^T J build/solve — cheap (6x6) and
+    immune to the TPU MXU's reduced-precision default (models/posegraph.py).
+    """
+    with jax.default_matmul_precision("float32"):
+        return _solve_motion(pose_prev, p_w, p_jt, pose_init, mask, cfg)
+
+
+def _solve_motion(pose_prev, p_w, p_jt, pose_init, mask, cfg: SlamConfig):
     period = cfg.scan_period_s
     times = compute_time_deltas(p_jt, period)
     n_valid = jnp.sum(mask.astype(p_w.dtype))

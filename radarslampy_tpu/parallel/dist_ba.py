@@ -104,7 +104,17 @@ def shard_ba_problem(p: BAProblem, n_shards: int) -> BAProblem:
 
 def optimize_ba_sharded(p: BAProblem, cfg: SlamConfig, mesh: Mesh,
                         max_views_per_landmark: int = 8):
-    """LM bundle adjustment, landmark-sharded with psum-reduced pose system."""
+    """LM bundle adjustment, landmark-sharded with psum-reduced pose system.
+
+    float32 matmul precision: see models/posegraph.py — reduced-precision MXU
+    passes stall the anchored normal-equation solves.
+    """
+    with jax.default_matmul_precision("float32"):
+        return _optimize_ba_sharded(p, cfg, mesh, max_views_per_landmark)
+
+
+def _optimize_ba_sharded(p: BAProblem, cfg: SlamConfig, mesh: Mesh,
+                         max_views_per_landmark: int = 8):
     n = mesh.shape[KF_AXIS]
     p = shard_ba_problem(p, n)
     hd = cfg.pg_huber_delta

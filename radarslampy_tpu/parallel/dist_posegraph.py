@@ -56,7 +56,16 @@ def optimize_pose_graph_sharded(g: PoseGraph, cfg: SlamConfig, mesh: Mesh):
     iteration: local H,b assembly -> psum over the mesh -> replicated damped
     Cholesky -> replicated update.  Communication per iteration: one psum of
     [3M,3M]+[3M] (dense path).
+
+    float32 matmul precision for the same reason as the dense solver
+    (models/posegraph.py): reduced-precision MXU passes stall the
+    ill-conditioned anchored solve.
     """
+    with jax.default_matmul_precision("float32"):
+        return _optimize_pose_graph_sharded(g, cfg, mesh)
+
+
+def _optimize_pose_graph_sharded(g: PoseGraph, cfg: SlamConfig, mesh: Mesh):
     n = mesh.shape[KF_AXIS]
     g = _shard_edges(g, n)
     hd = cfg.pg_huber_delta

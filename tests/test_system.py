@@ -36,6 +36,8 @@ def test_tiny_sequence_runs_and_tracks():
     # tracking must be healthy on real data
     n_inl = np.array([int(o.n_inliers) for o in outs])
     assert n_inl.min() > 30, f"inliers collapsed: {n_inl}"
+    assert res.min_inliers == n_inl.min()
+    assert res.n_fit_failures == 0
     # all poses finite
     _, poses = res.trajectory.as_arrays()
     assert np.isfinite(poses).all()
