@@ -81,3 +81,42 @@ def test_global_map_points_sharded(mesh):
     got = set(map(tuple, pts[mask].round(3)))
     expect = set(map(tuple, np.asarray(m.feat_world)[live].round(3)))
     assert got == expect
+
+
+def test_sharded_appearance_retrieval_matches_dense(mesh):
+    """Sharded scan-context retrieval must select the same loop candidates as
+    the dense single-device search (same pairs, distances, rotation inits)."""
+    from radarslampy_tpu.models.placerecog import find_candidates_appearance
+    from radarslampy_tpu.parallel.sharded_map import appearance_candidates_sharded
+
+    rng = np.random.default_rng(11)
+    M, R, S = 64, 16, 80
+    descs = rng.uniform(0.0, 1.0, (M, R, S)).astype(np.float32)
+    # plant a genuine revisit: keyframe 40 sees keyframe 5's scene rotated
+    descs[40] = np.roll(descs[5], 13, axis=1) + rng.normal(0, 0.01, (R, S))
+    cursor = 50
+
+    m = _toy_map(M=M)._replace(
+        descriptors=jnp.asarray(descs), cursor=jnp.int32(cursor)
+    )
+    dense = find_candidates_appearance(
+        m.descriptors, m.cursor, max_candidates=6, min_index_gap=10
+    )
+    ms = shard_map_state(m, mesh)
+    shard = appearance_candidates_sharded(ms, mesh, max_candidates=6,
+                                          min_index_gap=10)
+
+    def as_set(c):
+        return {
+            (int(i), int(j), round(float(d), 5))
+            for i, j, d, v in zip(c.i, c.j, c.distance, c.valid) if bool(v)
+        }
+
+    assert as_set(shard) == as_set(dense)
+    # the planted revisit is found with the right rotation initialiser
+    pairs = [(int(i), int(j)) for i, j in zip(shard.i, shard.j)]
+    assert (5, 40) in pairs
+    rot = float(shard.rot_init[pairs.index((5, 40))])
+    expect = -(13 * 2 * np.pi / S)
+    expect = (expect + np.pi) % (2 * np.pi) - np.pi
+    assert abs(rot - expect) < 1e-5
