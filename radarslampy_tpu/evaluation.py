@@ -61,6 +61,8 @@ def evaluate_sequence(
     noise: float = 0.02,
     progress_every: int = 0,
     return_state: bool = False,
+    world: str = "corridor",
+    landmarks_per_scan: float = 80.0,
 ):
     """Render scans along poses_gt, run SLAM, report ATE (+backend ATE)."""
     import jax
@@ -73,11 +75,19 @@ def evaluate_sequence(
     rng = np.random.default_rng(seed)
     maps = build_frame_maps(cfg)
 
-    span = poses_gt[:, :2]
-    extent = float(np.abs(span).max() + cfg.max_range_clip_m)
-    area_km2 = (2 * extent / 1000.0) ** 2
-    n_landmarks = max(800, int(area_km2 * n_landmarks_per_km2))
-    world_pts, world_refl = fd.make_world(rng, n_landmarks, extent)
+    if world == "corridor":
+        # density follows the route, so per-scan landmark visibility stays
+        # ~constant however long/thin the trajectory is (full_seq_1 is 9 km
+        # inside a 2.4 km box — a uniform box world starves every scan there)
+        world_pts, world_refl = fd.make_world_corridor(
+            rng, poses_gt, cfg.max_range_clip_m, per_scan=landmarks_per_scan
+        )
+    else:
+        span = poses_gt[:, :2]
+        extent = float(np.abs(span).max() + cfg.max_range_clip_m)
+        area_km2 = (2 * extent / 1000.0) ** 2
+        n_landmarks = max(800, int(area_km2 * n_landmarks_per_km2))
+        world_pts, world_refl = fd.make_world(rng, n_landmarks, extent)
 
     init = jax.jit(lambda p, m: frontend.init_state(p, jnp.zeros(3), m, cfg))
     step = jax.jit(
@@ -185,6 +195,10 @@ def main(argv=None):
     p.add_argument("--cart-size", type=int, default=1024)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--progress-every", type=int, default=50)
+    p.add_argument("--max-keyframes", type=int, default=None,
+                   help="map capacity override (full 9 km run needs ~8192)")
+    p.add_argument("--per-scan", type=float, default=80.0,
+                   help="target visible landmarks per scan (corridor world)")
     a = p.parse_args(argv)
 
     if a.cpu:
@@ -196,13 +210,16 @@ def main(argv=None):
           "cart_downsample": 4096 // a.cart_size}
     if a.loop_method:
         kw["loop_method"] = a.loop_method
+    if a.max_keyframes:
+        kw["max_keyframes"] = a.max_keyframes
     cfg = SlamConfig(**kw)
     poses = gt_subsequence(a.gt_csv, a.start, a.count, a.stride)
     dist = float(np.sum(np.linalg.norm(np.diff(poses[:, :2], axis=0), axis=1)))
     print(f"eval: {len(poses)} frames, {dist:.0f} m path, "
           f"cart {a.cart_size}, loop_method {cfg.loop_method}")
     res = evaluate_sequence(poses, cfg, seed=a.seed, run_backend=a.backend,
-                            noise=a.noise, progress_every=a.progress_every)
+                            noise=a.noise, progress_every=a.progress_every,
+                            landmarks_per_scan=a.per_scan)
     print(f"odometry ATE {res.ate_odometry:.2f} m over {res.frames} frames "
           f"({res.fps:.1f} fps), {res.n_keyframes} keyframes")
     if a.backend:

@@ -29,12 +29,20 @@
 namespace {
 
 struct Frame {
-  std::vector<float> power;        // [A * padded_bins]
+  // Power is kept as the raw PNG bytes (clipped + lane-padded): the device
+  // dequantizes (u8/255) after transfer, so keeping u8 here both halves decode
+  // work and lets the Python side ship 1 byte/bin over PCIe instead of 4.
+  std::vector<uint8_t> power;      // [A * padded_bins] raw bytes
   std::vector<float> azimuths;     // [A]
   std::vector<uint8_t> valid;      // [A]
   std::vector<int64_t> timestamps; // [A]
   bool ok = false;
 };
+
+void copy_power_f32(const std::vector<uint8_t>& src, float* dst) {
+  constexpr float kInv255 = 1.0f / 255.0f;
+  for (size_t i = 0; i < src.size(); ++i) dst[i] = src[i] * kInv255;
+}
 
 struct Geometry {
   int num_azimuths;
@@ -91,12 +99,11 @@ bool decode_one(const char* path, const Geometry& g, Frame* out) {
   std::fclose(fp);
 
   const int A = g.num_azimuths;
-  out->power.assign(static_cast<size_t>(A) * g.padded_bins, 0.0f);
+  out->power.assign(static_cast<size_t>(A) * g.padded_bins, 0);
   out->azimuths.resize(A);
   out->valid.resize(A);
   out->timestamps.resize(A);
 
-  constexpr float kInv255 = 1.0f / 255.0f;
   constexpr double kTwoPi = 6.283185307179586;
   for (int r = 0; r < A; ++r) {
     const uint8_t* row = raw.data() + static_cast<size_t>(r) * width;
@@ -107,9 +114,8 @@ bool decode_one(const char* path, const Geometry& g, Frame* out) {
     std::memcpy(&enc, row + 8, 2);
     out->azimuths[r] = static_cast<float>(enc / 5600.0 * kTwoPi);
     out->valid[r] = row[10] == 255 ? 1 : 0;
-    float* dst = out->power.data() + static_cast<size_t>(r) * g.padded_bins;
-    const uint8_t* src = row + 11;
-    for (int c = 0; c < g.clip_bins; ++c) dst[c] = src[c] * kInv255;
+    uint8_t* dst = out->power.data() + static_cast<size_t>(r) * g.padded_bins;
+    std::memcpy(dst, row + 11, g.clip_bins);
   }
   out->ok = true;
   return true;
@@ -152,7 +158,24 @@ int rsl_decode(const char* path, int num_azimuths, int raw_cols, int clip_bins,
   Geometry g{num_azimuths, raw_cols, clip_bins, padded_bins};
   Frame f;
   if (!decode_one(path, g, &f)) return -1;
-  std::memcpy(out_power, f.power.data(), f.power.size() * sizeof(float));
+  copy_power_f32(f.power, out_power);
+  std::memcpy(out_azimuths, f.azimuths.data(), f.azimuths.size() * sizeof(float));
+  std::memcpy(out_valid, f.valid.data(), f.valid.size());
+  std::memcpy(out_timestamps, f.timestamps.data(),
+              f.timestamps.size() * sizeof(int64_t));
+  return 0;
+}
+
+// As rsl_decode, but power is delivered as the raw PNG bytes (u8) so callers
+// can defer the /255 dequantisation to the accelerator.
+int rsl_decode_u8(const char* path, int num_azimuths, int raw_cols,
+                  int clip_bins, int padded_bins, uint8_t* out_power,
+                  float* out_azimuths, uint8_t* out_valid,
+                  int64_t* out_timestamps) {
+  Geometry g{num_azimuths, raw_cols, clip_bins, padded_bins};
+  Frame f;
+  if (!decode_one(path, g, &f)) return -1;
+  std::memcpy(out_power, f.power.data(), f.power.size());
   std::memcpy(out_azimuths, f.azimuths.data(), f.azimuths.size() * sizeof(float));
   std::memcpy(out_valid, f.valid.data(), f.valid.size());
   std::memcpy(out_timestamps, f.timestamps.data(),
@@ -190,7 +213,32 @@ int rsl_loader_next(void* handle, float* out_power, float* out_azimuths,
     L->cv.notify_all();
   }
   if (!f.ok) return -1;
-  std::memcpy(out_power, f.power.data(), f.power.size() * sizeof(float));
+  copy_power_f32(f.power, out_power);
+  std::memcpy(out_azimuths, f.azimuths.data(), f.azimuths.size() * sizeof(float));
+  std::memcpy(out_valid, f.valid.data(), f.valid.size());
+  std::memcpy(out_timestamps, f.timestamps.data(),
+              f.timestamps.size() * sizeof(int64_t));
+  return 0;
+}
+
+// As rsl_loader_next, but power delivered as raw u8 bytes.
+int rsl_loader_next_u8(void* handle, uint8_t* out_power, float* out_azimuths,
+                       uint8_t* out_valid, int64_t* out_timestamps) {
+  auto* L = static_cast<Loader*>(handle);
+  int i;
+  Frame f;
+  {
+    std::unique_lock<std::mutex> lk(L->mu);
+    i = L->next_consume;
+    if (i >= static_cast<int>(L->paths.size())) return -2;
+    L->cv.wait(lk, [&] { return L->ready.count(i) > 0; });
+    f = std::move(L->ready[i]);
+    L->ready.erase(i);
+    L->next_consume = i + 1;
+    L->cv.notify_all();
+  }
+  if (!f.ok) return -1;
+  std::memcpy(out_power, f.power.data(), f.power.size());
   std::memcpy(out_azimuths, f.azimuths.data(), f.azimuths.size() * sizeof(float));
   std::memcpy(out_valid, f.valid.data(), f.valid.size());
   std::memcpy(out_timestamps, f.timestamps.data(),

@@ -63,8 +63,10 @@ def _load() -> Optional[ctypes.CDLL]:
             _build_failed = True
             return None
         lib.rsl_decode.restype = ctypes.c_int
+        lib.rsl_decode_u8.restype = ctypes.c_int
         lib.rsl_loader_create.restype = ctypes.c_void_p
         lib.rsl_loader_next.restype = ctypes.c_int
+        lib.rsl_loader_next_u8.restype = ctypes.c_int
         lib.rsl_loader_destroy.restype = None
         _lib = lib
         return lib
@@ -74,10 +76,10 @@ def native_available() -> bool:
     return _load() is not None
 
 
-def _alloc(cfg: SlamConfig):
+def _alloc(cfg: SlamConfig, raw_u8: bool = False):
     A = cfg.num_azimuths
     return (
-        np.zeros((A, cfg.polar_width_padded), np.float32),
+        np.zeros((A, cfg.polar_width_padded), np.uint8 if raw_u8 else np.float32),
         np.zeros(A, np.float32),
         np.zeros(A, np.uint8),
         np.zeros(A, np.int64),
@@ -85,20 +87,25 @@ def _alloc(cfg: SlamConfig):
 
 
 def _ptrs(power, az, valid, ts):
+    power_ct = ctypes.c_uint8 if power.dtype == np.uint8 else ctypes.c_float
     return (
-        power.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        power.ctypes.data_as(ctypes.POINTER(power_ct)),
         az.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
 
 
-def decode_radar_png_native(path: str, cfg: SlamConfig) -> RadarFrame:
+def decode_radar_png_native(path: str, cfg: SlamConfig,
+                            raw_u8: bool = False) -> RadarFrame:
+    """Native decode; `raw_u8=True` keeps power as raw PNG bytes so the /255
+    dequantisation runs on the accelerator (4x less host->device traffic)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native loader unavailable")
-    power, az, valid, ts = _alloc(cfg)
-    rc = lib.rsl_decode(
+    power, az, valid, ts = _alloc(cfg, raw_u8)
+    fn = lib.rsl_decode_u8 if raw_u8 else lib.rsl_decode
+    rc = fn(
         path.encode(), cfg.num_azimuths, RAW_COLS, cfg.clipped_range_bins,
         cfg.polar_width_padded, *_ptrs(power, az, valid, ts)
     )
@@ -112,12 +119,13 @@ class NativeLoader:
     """Multi-threaded in-order prefetching frame iterator (C++ thread pool)."""
 
     def __init__(self, paths: List[str], cfg: SlamConfig, workers: int = 4,
-                 depth: int = 8):
+                 depth: int = 8, raw_u8: bool = False):
         lib = _load()
         if lib is None:
             raise RuntimeError("native loader unavailable")
         self._lib = lib
         self._cfg = cfg
+        self._raw_u8 = raw_u8
         self._paths = [p.encode() for p in paths]
         arr = (ctypes.c_char_p * len(self._paths))(*self._paths)
         self._handle = lib.rsl_loader_create(
@@ -128,9 +136,11 @@ class NativeLoader:
         self._stamps = [int(os.path.basename(p)[:-4]) for p in paths]
 
     def __iter__(self) -> Iterator[RadarFrame]:
+        next_fn = (self._lib.rsl_loader_next_u8 if self._raw_u8
+                   else self._lib.rsl_loader_next)
         for i in range(self._n):
-            power, az, valid, ts = _alloc(self._cfg)
-            rc = self._lib.rsl_loader_next(
+            power, az, valid, ts = _alloc(self._cfg, self._raw_u8)
+            rc = next_fn(
                 ctypes.c_void_p(self._handle), *_ptrs(power, az, valid, ts)
             )
             if rc == -2:

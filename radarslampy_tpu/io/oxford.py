@@ -32,8 +32,11 @@ class RadarFrame(NamedTuple):
     frame_timestamp: int    # scan timestamp (from the filename)
 
 
-def decode_radar_png(path: str, cfg: SlamConfig) -> RadarFrame:
-    """Decode one Oxford radar PNG into a lane-padded polar power matrix."""
+def decode_radar_png(path: str, cfg: SlamConfig, raw_u8: bool = False) -> RadarFrame:
+    """Decode one Oxford radar PNG into a lane-padded polar power matrix.
+
+    `raw_u8=True` keeps power as the raw PNG bytes so the /255 dequantisation
+    runs on the accelerator after a 4x smaller host->device transfer."""
     raw = np.asarray(Image.open(path))
     if raw.ndim == 3:  # tolerate RGB-saved PNGs
         raw = raw[..., 0]
@@ -46,8 +49,11 @@ def decode_radar_png(path: str, cfg: SlamConfig) -> RadarFrame:
     )
     valid = raw[:, 10] == 255
     bins = cfg.clipped_range_bins
-    power = raw[:, 11 : 11 + bins].astype(np.float32) / 255.0
-    padded = np.zeros((cfg.num_azimuths, cfg.polar_width_padded), dtype=np.float32)
+    dtype = np.uint8 if raw_u8 else np.float32
+    power = raw[:, 11 : 11 + bins]
+    if not raw_u8:
+        power = power.astype(np.float32) / 255.0
+    padded = np.zeros((cfg.num_azimuths, cfg.polar_width_padded), dtype=dtype)
     padded[:, : power.shape[1]] = power
     stamp = int(os.path.basename(path)[:-4])
     return RadarFrame(padded, azimuths, valid, timestamps, stamp)

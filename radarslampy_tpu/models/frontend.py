@@ -183,9 +183,19 @@ def _write_keyframe(m: MapState, pose, feat_world, feat_local, feat_ids,
     )
 
 
+def _dequantize_polar(polar):
+    """Accept raw u8 PNG power bytes and dequantize on device (u8/255 is the
+    exact decode math of parseData.py:43); 4x less host->device traffic than
+    shipping float32."""
+    if jnp.issubdtype(polar.dtype, jnp.integer):
+        return polar.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    return polar
+
+
 def init_state(polar0, init_pose, maps: FrameMaps, cfg: SlamConfig) -> SlamState:
     """First-frame initialisation (RawROAMSystem.py:143-160): detect features,
     anchor them at the initial pose, write keyframe 0."""
+    polar0 = _dequantize_polar(polar0)
     cart = routed_polar_to_cartesian(polar0, maps.routed)
     cands = get_features(cart, cfg, maps.doh)
     K = cfg.k_max
@@ -222,6 +232,7 @@ def init_state(polar0, init_pose, maps: FrameMaps, cfg: SlamConfig) -> SlamState
 def slam_step(state: SlamState, polar, maps: FrameMaps, cfg: SlamConfig):
     """One radar frame through the full pipeline.  Pure; jit with static cfg,
     maps passed as a runtime argument."""
+    polar = _dequantize_polar(polar)
     cart = routed_polar_to_cartesian(polar, maps.routed)
 
     # ---- FMT rotation estimate (gated; reference computes-and-ignores) ----

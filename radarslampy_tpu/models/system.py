@@ -64,9 +64,10 @@ class _Prefetcher:
     ~24 ms/frame decode."""
 
     def __init__(self, paths: List[str], cfg: SlamConfig, depth: int = 8,
-                 workers: int = 4):
+                 workers: int = 4, raw_u8: bool = False):
         self._paths = paths
         self._cfg = cfg
+        self._raw_u8 = raw_u8
         self._results: dict = {}
         self._lock = threading.Lock()
         self._ready = threading.Condition(self._lock)
@@ -81,7 +82,8 @@ class _Prefetcher:
 
     def _work(self, offset: int, stride: int):
         for i in range(offset, len(self._paths), stride):
-            frame = oxford.decode_radar_png(self._paths[i], self._cfg)
+            frame = oxford.decode_radar_png(self._paths[i], self._cfg,
+                                            raw_u8=self._raw_u8)
             with self._ready:
                 while i - self._next_put > self._depth:
                     self._ready.wait()
@@ -216,11 +218,13 @@ class RadarSlamSystem:
         try:  # native C++ decode pool (io/native/) — GIL-free, ~3x faster
             from radarslampy_tpu.io.native_loader import NativeLoader, native_available
 
-            frames = NativeLoader(window, self.cfg) if native_available() else None
+            frames = (NativeLoader(window, self.cfg, raw_u8=True)
+                      if native_available() else None)
         except Exception:
             frames = None
         if frames is None:
-            frames = _Prefetcher(window, self.cfg)
+            # raw u8 power: dequantised on device (frontend._dequantize_polar)
+            frames = _Prefetcher(window, self.cfg, raw_u8=True)
         it = iter(frames)
         first = next(it)
 

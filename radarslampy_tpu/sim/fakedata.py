@@ -96,6 +96,43 @@ def make_world(rng, n_landmarks=400, extent_m=400.0):
     return pts, refl
 
 
+def make_world_corridor(rng, poses, radius_m, per_scan=80.0):
+    """Landmarks sampled in a corridor around a trajectory.
+
+    A uniform box world wastes almost all landmarks when the trajectory is a
+    long thin route (full_seq_1 is 9 km inside a 2.4 km bounding box), starving
+    individual scans.  Instead, sample each landmark by picking a random path
+    vertex (weighted by local path length so straights and curves get equal
+    linear density) and a uniform point in the disc of `radius_m` around it.
+    The landmark count is chosen so a scan sees ~`per_scan` landmarks on
+    average: corridor area ~ path_len*2R + pi R^2, visible disc area pi R^2.
+
+    Returns ([N,2] positions, [N] reflectivities).
+    """
+    poses = np.asarray(poses, dtype=np.float64)
+    seg = np.diff(poses[:, :2], axis=0)
+    seg_len = np.linalg.norm(seg, axis=1)
+    path_len = float(seg_len.sum())
+    # vertex weights = half the length of adjacent segments (plus a floor so a
+    # stationary trajectory still gets samples)
+    w = np.zeros(len(poses))
+    w[:-1] += seg_len / 2
+    w[1:] += seg_len / 2
+    w += max(path_len, 1.0) * 1e-6
+    w /= w.sum()
+
+    corridor_area = path_len * 2 * radius_m + np.pi * radius_m**2
+    density = per_scan / (np.pi * radius_m**2)
+    n = max(400, int(corridor_area * density))
+
+    centers = poses[rng.choice(len(poses), size=n, p=w), :2]
+    r = radius_m * np.sqrt(rng.uniform(0, 1, size=n))
+    th = rng.uniform(0, 2 * np.pi, size=n)
+    pts = centers + np.stack([r * np.cos(th), r * np.sin(th)], axis=1)
+    refl = rng.uniform(0.4, 1.0, size=n)
+    return pts.astype(np.float64), refl
+
+
 def render_polar_scan(world_pts, world_refl, pose, cfg: SlamConfig,
                       velocity=None, noise=0.02, rng=None,
                       blob_sigma_px=2.0, az_sigma=0.6):

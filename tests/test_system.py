@@ -97,3 +97,62 @@ def test_synthetic_sequence_odometry(rng):
     assert np.isfinite(est).all()
     err = np.linalg.norm(est[:, :2] - poses[:, :2], axis=1)
     assert err[-1] < 1.5, f"drift {err} m over {T} frames"
+
+
+@pytest.mark.skipif(not tiny_available(), reason="tiny dataset unavailable")
+def test_u8_ingest_matches_float():
+    """Raw-u8 transfer + on-device dequantisation is numerically identical to
+    shipping float32 (u8/255 is the exact decode math, parseData.py:43)."""
+    import jax
+    import jax.numpy as jnp
+
+    from radarslampy_tpu.io import oxford
+    from radarslampy_tpu.models import frontend
+    from radarslampy_tpu.models.frontend import build_frame_maps
+
+    seq = oxford.sequence_paths(TINY_ROOT, "tiny")
+    paths = oxford.radar_image_paths(seq["radar"], seq["timestamps"])[:3]
+    cfg = CPU_CFG
+    maps = build_frame_maps(cfg)
+
+    f32 = [oxford.decode_radar_png(p, cfg) for p in paths]
+    u8 = [oxford.decode_radar_png(p, cfg, raw_u8=True) for p in paths]
+    for a, b in zip(f32, u8):
+        assert b.power.dtype == np.uint8
+        np.testing.assert_allclose(
+            a.power, b.power.astype(np.float32) / 255.0, atol=1e-7)
+        np.testing.assert_array_equal(a.timestamps, b.timestamps)
+
+    init = jax.jit(lambda p, m: frontend.init_state(p, jnp.zeros(3), m, cfg))
+    step = jax.jit(lambda s, p, m: frontend.slam_step(s, p, m, cfg))
+    sf = init(f32[0].power, maps)
+    su = init(u8[0].power, maps)
+    for t in (1, 2):
+        sf, of = step(sf, f32[t].power, maps)
+        su, ou = step(su, u8[t].power, maps)
+    # poses agree to mm (the only input difference is 1 ulp from host /255 vs
+    # device *(1/255); iterative KLT amplifies it slightly over frames)
+    np.testing.assert_allclose(np.asarray(of.pose), np.asarray(ou.pose),
+                               atol=5e-3)
+
+
+@pytest.mark.skipif(not tiny_available(), reason="tiny dataset unavailable")
+def test_native_u8_decode_matches_python():
+    from radarslampy_tpu.io import oxford
+    from radarslampy_tpu.io.native_loader import (
+        decode_radar_png_native, native_available)
+
+    if not native_available():
+        pytest.skip("native loader toolchain unavailable")
+    seq = oxford.sequence_paths(TINY_ROOT, "tiny")
+    path = oxford.radar_image_paths(seq["radar"], seq["timestamps"])[0]
+    cfg = CPU_CFG
+    py = oxford.decode_radar_png(path, cfg, raw_u8=True)
+    nat = decode_radar_png_native(path, cfg, raw_u8=True)
+    np.testing.assert_array_equal(py.power, nat.power)
+    np.testing.assert_array_equal(py.timestamps, nat.timestamps)
+    np.testing.assert_allclose(py.azimuths, nat.azimuths, atol=1e-6)
+    # float API still agrees with its own u8 bytes
+    natf = decode_radar_png_native(path, cfg)
+    np.testing.assert_array_equal(
+        natf.power, nat.power.astype(np.float32) * np.float32(1.0 / 255.0))
