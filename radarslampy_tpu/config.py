@@ -86,6 +86,9 @@ class SlamConfig:
     # 50 LM iterations: converged on a real 447 m loop (2.23 m keyframe ATE,
     # identical cost at 100/200); each iteration is a ~2 ms dense solve on TPU.
     pg_iterations: int = 50
+    pg_cg_iterations: int = 0           # CG sweeps per LM step (matrix-free solver);
+                                        # 0 = auto (2M: block-Jacobi PCG propagates
+                                        # ~1 node/sweep along the odometry chain)
     pg_huber_delta: float = 1.0
 
     # ---- place recognition (scan-context descriptors; models/placerecog.py) ----

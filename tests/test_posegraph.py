@@ -111,3 +111,57 @@ def test_odometry_graph_from_map():
     from radarslampy_tpu.models.posegraph import graph_cost
 
     assert float(graph_cost(poses, g, CFG.pg_huber_delta)) < 1e-4
+
+
+def test_pcg_matches_dense(rng):
+    """Matrix-free PCG solver reaches the same optimum as the dense Cholesky."""
+    g, gt, init = _ring_graph(rng)
+    p_dense, c_dense = optimize_pose_graph(g, CFG, method="dense")
+    p_pcg, c_pcg = optimize_pose_graph(g, CFG, method="pcg")
+    np.testing.assert_allclose(np.asarray(p_pcg), np.asarray(p_dense), atol=1e-2)
+    assert abs(float(c_pcg) - float(c_dense)) < 1e-3 * max(1.0, float(c_dense))
+
+
+def test_pcg_large_graph_converges(rng):
+    """PCG is the path large maps take (auto dispatch above 1024 nodes)."""
+    n = 1500
+    th = np.linspace(0, 6 * np.pi, n)
+    radius = 120.0
+    gt = np.stack(
+        [radius * np.cos(th), radius * np.sin(th), th + np.pi / 2], axis=1
+    )
+    # odometry chain + a loop-closure edge between the spiral's two turns
+    # every 50 nodes (node i and i+n/3 coincide spatially: th spans 6pi)
+    half = n // 3
+    loops = [(i, i + half) for i in range(0, n - half, 50)]
+    E = (n - 1) + len(loops)
+    ij = np.zeros((E, 2), np.int32)
+    meas = np.zeros((E, 3), np.float32)
+    for i in range(n - 1):
+        ij[i] = (i, i + 1)
+        meas[i] = _relative(gt[i], gt[i + 1]) + rng.normal(0, 0.005, 3)
+    for k, (a, b) in enumerate(loops):
+        ij[n - 1 + k] = (a, b)
+        meas[n - 1 + k] = _relative(gt[a], gt[b])
+
+    init = np.zeros_like(gt)
+    init[0] = gt[0]
+    for i in range(n - 1):
+        d = meas[i]
+        c, s = np.cos(init[i, 2]), np.sin(init[i, 2])
+        init[i + 1] = (init[i, 0] + c * d[0] - s * d[1],
+                       init[i, 1] + s * d[0] + c * d[1], init[i, 2] + d[2])
+    g = PoseGraph(
+        poses=jnp.asarray(init, jnp.float32),
+        node_mask=jnp.ones(n, dtype=bool),
+        edges_ij=jnp.asarray(ij),
+        edges_meas=jnp.asarray(meas),
+        edges_info=jnp.asarray(np.tile([10.0, 10.0, 40.0], (E, 1)).astype(np.float32)),
+        edge_mask=jnp.ones(E, dtype=bool),
+    )
+    cfg = SlamConfig(pg_iterations=30)  # pg_cg_iterations auto-scales to 2M
+    poses, cost = optimize_pose_graph(g, cfg)  # auto -> pcg at n=1500
+    err_init = np.linalg.norm(init[:, :2] - gt[:, :2], axis=1).max()
+    err_opt = np.linalg.norm(np.asarray(poses)[:, :2] - gt[:, :2], axis=1).max()
+    assert err_opt < err_init * 0.3, (err_init, err_opt)
+    np.testing.assert_allclose(np.asarray(poses)[0], gt[0], atol=1e-3)
