@@ -180,12 +180,19 @@ def _gauge_diag(node_mask, M, dtype):
     return d + jnp.where(node_mask, 0.0, 1e8)
 
 
-def _optimize_pose_graph_pcg(g: PoseGraph, cfg: SlamConfig):
+def _optimize_pose_graph_pcg(g: PoseGraph, cfg: SlamConfig, reduce_fn=None):
     """Matrix-free LM: each step solves (H + lam diag(H)) delta = -b with
     block-Jacobi PCG, never materialising H.  Per CG sweep the cost is one
     gather + two [E,3,3]x[E,3] batched products + one scatter-add — O(E),
     independent of M^2, so full_seq_1-scale graphs (4-8k keyframes) solve in
-    milliseconds where the dense Cholesky needs minutes."""
+    milliseconds where the dense Cholesky needs minutes.
+
+    `reduce_fn` sums edge-parallel contributions across shards (identity on a
+    single device; `lax.psum` when `g.edges_*` hold only this device's shard —
+    parallel/dist_posegraph.py).  Only [M,3]-sized vectors ever cross devices.
+    """
+    if reduce_fn is None:
+        reduce_fn = lambda x: x
     hd = cfg.pg_huber_delta
     dtype = g.poses.dtype
     M = g.poses.shape[0]
@@ -199,13 +206,13 @@ def _optimize_pose_graph_pcg(g: PoseGraph, cfg: SlamConfig):
         WJi = W[:, :, None] * Ji
         WJj = W[:, :, None] * Jj
         # gradient b = J^T W r  [M,3]
-        b = (
+        b = reduce_fn(
             jnp.zeros((M, 3), dtype)
             .at[ei].add(jnp.einsum("eab,ea->eb", Ji, W * r))
             .at[ej].add(jnp.einsum("eab,ea->eb", Jj, W * r))
         )
         # diagonal blocks of the gauged H  [M,3,3]
-        D = (
+        D = reduce_fn(
             jnp.zeros((M, 3, 3), dtype)
             .at[ei].add(jnp.einsum("eab,eac->ebc", Ji, WJi))
             .at[ej].add(jnp.einsum("eab,eac->ebc", Jj, WJj))
@@ -219,7 +226,7 @@ def _optimize_pose_graph_pcg(g: PoseGraph, cfg: SlamConfig):
                 "eab,eb->ea", Jj, v[ej]
             )
             u = W * Jv
-            Hv = (
+            Hv = reduce_fn(
                 jnp.zeros((M, 3), dtype)
                 .at[ei].add(jnp.einsum("eab,ea->eb", Ji, u))
                 .at[ej].add(jnp.einsum("eab,ea->eb", Jj, u))
@@ -259,7 +266,7 @@ def _optimize_pose_graph_pcg(g: PoseGraph, cfg: SlamConfig):
 
         cand = poses + delta
         cand = cand.at[:, 2].set(geo.wrap_angle(cand[:, 2]))
-        new_cost = graph_cost(cand, g, hd)
+        new_cost = reduce_fn(graph_cost(cand, g, hd))
         accept = new_cost < cost
         poses = jnp.where(accept, cand, poses)
         cost = jnp.where(accept, new_cost, cost)
@@ -268,7 +275,8 @@ def _optimize_pose_graph_pcg(g: PoseGraph, cfg: SlamConfig):
         )
         return (poses, lam, cost), None
 
-    init = (g.poses, jnp.asarray(1e-4, dtype), graph_cost(g.poses, g, hd))
+    init = (g.poses, jnp.asarray(1e-4, dtype),
+            reduce_fn(graph_cost(g.poses, g, hd)))
     (poses, _, cost), _ = jax.lax.scan(lm_step, init, None, length=cfg.pg_iterations)
     return poses, cost
 

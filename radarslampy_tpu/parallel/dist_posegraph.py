@@ -49,20 +49,63 @@ def _shard_edges(g: PoseGraph, n_shards: int) -> PoseGraph:
     )
 
 
-def optimize_pose_graph_sharded(g: PoseGraph, cfg: SlamConfig, mesh: Mesh):
-    """LM pose-graph solve with edge-parallel normal-equation assembly.
+def optimize_pose_graph_sharded(g: PoseGraph, cfg: SlamConfig, mesh: Mesh,
+                                method: str = "auto"):
+    """LM pose-graph solve with edge-parallel assembly over the mesh.
 
-    Poses are replicated (small: [M,3]); edges are sharded along `kf`.  Each LM
-    iteration: local H,b assembly -> psum over the mesh -> replicated damped
-    Cholesky -> replicated update.  Communication per iteration: one psum of
-    [3M,3M]+[3M] (dense path).
+    Poses are replicated (small: [M,3]); edges are sharded along `kf`.
+
+    `method`:
+      * "dense" — each LM iteration: local H,b assembly -> one psum of
+        [3M,3M]+[3M] over ICI -> replicated damped Cholesky.  Exact;
+        communication and solve are O(M^2)/O(M^3).
+      * "pcg"   — matrix-free LM (models/posegraph.py PCG core with
+        `reduce_fn=psum`): every CG sweep computes the local edge shard's
+        Hessian-vector contribution and psums an [M,3] vector — the only
+        tensors ever crossing ICI are pose-sized, so the backend scales to
+        arbitrarily large maps and meshes.
+      * "auto"  — dense when M <= 1024 else pcg.
 
     float32 matmul precision for the same reason as the dense solver
     (models/posegraph.py): reduced-precision MXU passes stall the
     ill-conditioned anchored solve.
     """
+    if method == "auto":
+        method = "dense" if g.poses.shape[0] <= 1024 else "pcg"
     with jax.default_matmul_precision("float32"):
+        if method == "pcg":
+            return _optimize_pose_graph_sharded_pcg(g, cfg, mesh)
         return _optimize_pose_graph_sharded(g, cfg, mesh)
+
+
+def _optimize_pose_graph_sharded_pcg(g: PoseGraph, cfg: SlamConfig, mesh: Mesh):
+    from radarslampy_tpu.models.posegraph import _optimize_pose_graph_pcg
+
+    n = mesh.shape[KF_AXIS]
+    g = _shard_edges(g, n)
+
+    edge_spec = PoseGraph(
+        poses=P(),
+        node_mask=P(),
+        edges_ij=P(KF_AXIS),
+        edges_meas=P(KF_AXIS),
+        edges_info=P(KF_AXIS),
+        edge_mask=P(KF_AXIS),
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(edge_spec,),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def solve(gs: PoseGraph):
+        return _optimize_pose_graph_pcg(
+            gs, cfg, reduce_fn=lambda x: jax.lax.psum(x, KF_AXIS)
+        )
+
+    return jax.jit(solve)(g)
 
 
 def _optimize_pose_graph_sharded(g: PoseGraph, cfg: SlamConfig, mesh: Mesh):

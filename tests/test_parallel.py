@@ -120,3 +120,12 @@ def test_sharded_appearance_retrieval_matches_dense(mesh):
     expect = -(13 * 2 * np.pi / S)
     expect = (expect + np.pi) % (2 * np.pi) - np.pi
     assert abs(rot - expect) < 1e-5
+
+
+def test_sharded_pcg_matches_single_device(rng, mesh):
+    """Matrix-free sharded PCG (psum of [M,3] per sweep) == single-device PCG."""
+    g, gt, init = _ring_graph(rng)
+    single, c1 = optimize_pose_graph(g, CFG, method="pcg")
+    shard, c8 = optimize_pose_graph_sharded(g, CFG, mesh, method="pcg")
+    np.testing.assert_allclose(np.asarray(shard), np.asarray(single), atol=1e-3)
+    np.testing.assert_allclose(float(c8), float(c1), rtol=1e-3, atol=1e-4)
