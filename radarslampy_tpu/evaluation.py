@@ -191,7 +191,7 @@ def main(argv=None):
     p.add_argument("--backend", action="store_true",
                    help="run loop closure + pose graph after odometry")
     p.add_argument("--loop-method", default=None,
-                   choices=("pose", "appearance", "both"))
+                   choices=("pose", "appearance", "m2dp", "both"))
     p.add_argument("--cart-size", type=int, default=1024)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--progress-every", type=int, default=50)

@@ -181,14 +181,18 @@ def close_loops(m: MapState, cfg: SlamConfig, max_candidates: int = 16,
 
     `method` (default `cfg.loop_method`) picks the candidate source:
       * "pose"       — pose-proximity search (needs small drift)
-      * "appearance" — scan-context retrieval (drift-independent; the
-                       reference's unbuilt "M2DP descriptors" future work)
-      * "both"       — union, appearance pairs deduplicated against pose pairs
+      * "appearance" — scan-context retrieval (drift-independent)
+      * "m2dp"       — M2DP retrieval over the keyframe feature clouds (the
+                       reference's named-but-unbuilt descriptor, Mapping.py:62)
+      * "both"       — pose + scan-context union, appearance pairs
+                       deduplicated against pose pairs
     """
-    from radarslampy_tpu.models.placerecog import find_candidates_appearance
+    from radarslampy_tpu.models.placerecog import (
+        find_candidates_appearance, find_candidates_m2dp, m2dp_from_map,
+    )
 
     method = method or cfg.loop_method
-    assert method in ("pose", "appearance", "both"), method
+    assert method in ("pose", "appearance", "m2dp", "both"), method
 
     cand_i, cand_j, cand_valid, cand_rot = [], [], [], []
     if method in ("pose", "both"):
@@ -215,6 +219,16 @@ def close_loops(m: MapState, cfg: SlamConfig, max_candidates: int = 16,
         cand_i.append(a.i)
         cand_j.append(a.j)
         cand_valid.append(valid)
+        cand_rot.append(a.rot_init)
+    if method == "m2dp":
+        md = m2dp_from_map(m)
+        a = find_candidates_m2dp(
+            md.desc, md.angle, m.cursor, max_candidates,
+            min_index_gap=min_index_gap,
+        )
+        cand_i.append(a.i)
+        cand_j.append(a.j)
+        cand_valid.append(a.valid)
         cand_rot.append(a.rot_init)
 
     ci = jnp.concatenate(cand_i)

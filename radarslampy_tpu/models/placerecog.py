@@ -138,3 +138,120 @@ def find_candidates_appearance(
         i=pi[best], j=pj[best], distance=d, rot_init=rot[best],
         valid=jnp.isfinite(d) & (d <= max_distance),
     )
+
+
+# --------------------------------------------------------------------------- #
+# M2DP (2-D adaptation) — the descriptor the reference paper names             #
+# --------------------------------------------------------------------------- #
+
+
+class M2dpResult(NamedTuple):
+    desc: jax.Array   # [n_dirs + n_bins] unit-norm signature
+    angle: jax.Array  # [] PCA alignment angle (world heading of the cloud's
+                      # principal axis in the sensor frame) — differencing two
+                      # keyframes' angles initialises relative rotation
+
+
+def m2dp_descriptor(points, mask, n_dirs: int = 16, n_bins: int = 24,
+                    radius_m: float = 80.0, soft_px: float = 2.0):
+    """M2DP descriptor of a 2-D point cloud (He, Wang & Zhang IROS'16, adapted
+    from 3-D to the planar radar case).
+
+    The reference stores a per-keyframe point cloud precisely "for computing
+    descriptors like M2DP" but never builds the descriptor (`Mapping.py:62`,
+    raw-roam.pdf p.6).  The original projects a PCA-aligned 3-D cloud onto
+    multiple 2-D view planes and SVDs the stacked ring/sector density
+    signatures; the planar analogue projects the PCA-aligned 2-D cloud onto
+    `n_dirs` view *lines* and SVDs the stacked 1-D soft density histograms —
+    the same multiview-projection + rank-1 factorisation idea, one dimension
+    down.  Everything is fixed-shape and vmappable: center -> closed-form 2x2
+    eigenvector -> [n_dirs] rotations -> soft scatter-add histograms [D, B]
+    -> SVD -> concat(u1, v1).
+
+    Rotation invariance comes from the PCA pre-alignment (sign disambiguated
+    by third-moment skewness, as in the paper); the alignment angle is
+    returned so retrieval can hand ICP a relative-rotation initialiser.
+    """
+    w = mask.astype(points.dtype)
+    n = jnp.maximum(w.sum(), 1.0)
+    mu = (points * w[:, None]).sum(0) / n
+    c = (points - mu) * w[:, None]
+
+    # principal axis of the 2x2 covariance, closed form
+    sxx = jnp.sum(c[:, 0] * c[:, 0])
+    syy = jnp.sum(c[:, 1] * c[:, 1])
+    sxy = jnp.sum(c[:, 0] * c[:, 1])
+    angle = 0.5 * jnp.arctan2(2.0 * sxy, sxx - syy)
+    ca, sa = jnp.cos(-angle), jnp.sin(-angle)
+    ax = ca * c[:, 0] - sa * c[:, 1]
+    ay = sa * c[:, 0] + ca * c[:, 1]
+    # sign disambiguation: positive skewness along both axes (M2DP §III-A)
+    fx = jnp.where(jnp.sum(ax**3) < 0, -1.0, 1.0)
+    fy = jnp.where(jnp.sum(ay**3) < 0, -1.0, 1.0)
+    ax = ax * fx
+    ay = ay * fy
+    angle = jnp.where(fx < 0, angle + jnp.pi, angle)
+    angle = jnp.arctan2(jnp.sin(angle), jnp.cos(angle))
+
+    thetas = jnp.linspace(0.0, jnp.pi, n_dirs, endpoint=False)
+    proj = (ax[None, :] * jnp.cos(thetas)[:, None]
+            + ay[None, :] * jnp.sin(thetas)[:, None])      # [D, P]
+    # soft 1-D histogram: linear hat around each point's bin position
+    pos = (proj / radius_m + 1.0) * 0.5 * (n_bins - 1)     # [D, P] in bins
+    pos = jnp.clip(pos, 0.0, n_bins - 1.0)
+    centers = jnp.arange(n_bins, dtype=points.dtype)
+    dist = jnp.abs(pos[:, :, None] - centers[None, None, :])
+    hat = jnp.maximum(0.0, 1.0 - dist / soft_px)           # [D, P, B]
+    A = (hat * w[None, :, None]).sum(axis=1)               # [D, B]
+    A = A / (jnp.linalg.norm(A, axis=1, keepdims=True) + 1e-8)
+
+    u, s, vt = jnp.linalg.svd(A, full_matrices=False)
+    u1 = u[:, 0] * jnp.sign(u[0, 0] + 1e-12)
+    v1 = vt[0] * jnp.sign(u[0, 0] + 1e-12)
+    d = jnp.concatenate([u1, v1])
+    d = d / (jnp.linalg.norm(d) + 1e-8)
+    return M2dpResult(desc=d, angle=angle)
+
+
+def m2dp_from_map(m, n_dirs: int = 16, n_bins: int = 24,
+                  radius_m: float = 80.0):
+    """Batched M2DP over a MapState's keyframe feature clouds: [M, D+B]."""
+    return jax.vmap(
+        lambda p, k: m2dp_descriptor(p, k, n_dirs, n_bins, radius_m)
+    )(m.feat_local, m.feat_mask)
+
+
+@partial(jax.jit, static_argnames=("max_candidates", "min_index_gap"))
+def find_candidates_m2dp(
+    descs,                # [M, D+B] unit-norm descriptors
+    angles,               # [M] PCA alignment angles
+    cursor,
+    max_candidates: int,
+    min_index_gap: int = 20,
+    max_distance: float = 0.25,
+) -> AppearanceCandidates:
+    """Loop candidates by M2DP cosine distance: one [M, M] matmul retrieval.
+
+    Unlike scan-context there is no shift search — the descriptor is already
+    rotation invariant — so retrieval is a single Gram matrix.  The relative
+    rotation initialiser is the difference of PCA alignment angles (mod pi
+    ambiguity resolved by skewness at build time).
+    """
+    M = descs.shape[0]
+    idx = jnp.arange(M)
+    live = idx < cursor
+    sim = descs @ descs.T                                  # [M, M]
+    gap_ok = (idx[None, :] - idx[:, None]) >= min_index_gap
+    ok = live[:, None] & live[None, :] & gap_ok
+    dist = jnp.where(ok, 1.0 - sim, jnp.inf)
+
+    vals, flat = jax.lax.top_k(-dist.reshape(-1), max_candidates)
+    ci = (flat // M).astype(jnp.int32)
+    cj = (flat % M).astype(jnp.int32)
+    d = -vals
+    rot = angles[ci] - angles[cj]
+    rot = jnp.arctan2(jnp.sin(rot), jnp.cos(rot))
+    return AppearanceCandidates(
+        i=ci, j=cj, distance=d, rot_init=rot,
+        valid=jnp.isfinite(d) & (d <= max_distance),
+    )

@@ -124,3 +124,85 @@ def test_slam_step_fills_descriptors(rng, small_cfg):
     for k in range(n_kf):
         assert d[k].max() > 0.0, k  # written, not left at init zeros
     assert not d[n_kf:].any()
+
+
+# ---------------------------------------------------------------------------- #
+# M2DP (2-D adaptation)                                                         #
+# ---------------------------------------------------------------------------- #
+
+
+def _cloud(rng, n=120):
+    pts = rng.normal(0, 20, (n, 2)).astype(np.float32)
+    # make it anisotropic so PCA alignment is well-defined
+    pts[:, 0] *= 2.5
+    mask = np.ones(n, bool)
+    return pts, mask
+
+
+def test_m2dp_rotation_invariance(rng):
+    from radarslampy_tpu.models.placerecog import m2dp_descriptor
+
+    pts, mask = _cloud(rng)
+    r0 = m2dp_descriptor(jnp.asarray(pts), jnp.asarray(mask))
+    th = 1.1
+    c, s = np.cos(th), np.sin(th)
+    rot = pts @ np.array([[c, s], [-s, c]], np.float32)
+    r1 = m2dp_descriptor(jnp.asarray(rot), jnp.asarray(mask))
+    # descriptor invariant under rotation
+    np.testing.assert_allclose(np.asarray(r0.desc), np.asarray(r1.desc),
+                               atol=2e-2)
+    # alignment angle tracks the rotation (sensor-frame principal axis)
+    d = float(r1.angle - r0.angle)
+    d = (d + np.pi) % (2 * np.pi) - np.pi
+    assert abs(abs(d) - th) < 0.05 or abs(abs(d) - abs(np.pi - th)) < 0.05
+
+
+def test_m2dp_retrieval_finds_revisit(rng):
+    from radarslampy_tpu.models.placerecog import (
+        find_candidates_m2dp, m2dp_descriptor)
+
+    # 30 distinct scenes; scene 25 is scene 2 revisited with noise + rotation
+    descs, angles = [], []
+    clouds = [_cloud(rng)[0] for _ in range(30)]
+    th = 0.7
+    c, s = np.cos(th), np.sin(th)
+    clouds[25] = (clouds[2] + rng.normal(0, 0.3, clouds[2].shape).astype(
+        np.float32)) @ np.array([[c, s], [-s, c]], np.float32)
+    for pts in clouds:
+        r = m2dp_descriptor(jnp.asarray(pts), jnp.ones(len(pts), bool))
+        descs.append(np.asarray(r.desc))
+        angles.append(float(r.angle))
+    out = find_candidates_m2dp(
+        jnp.asarray(np.stack(descs)), jnp.asarray(angles), jnp.int32(30),
+        max_candidates=4, min_index_gap=5)
+    i = np.asarray(out.i)
+    j = np.asarray(out.j)
+    valid = np.asarray(out.valid)
+    pairs = {(int(a), int(b)) for a, b, v in zip(i, j, valid) if v}
+    assert (2, 25) in pairs, (pairs, np.asarray(out.distance))
+
+
+def test_m2dp_loop_method_runs(small_cfg):
+    """close_loops(method='m2dp') wires end to end on a toy map."""
+    import dataclasses
+
+    from radarslampy_tpu.models.frontend import empty_map
+    from radarslampy_tpu.models.loopclosure import close_loops
+
+    cfg = dataclasses.replace(small_cfg, loop_method="m2dp")
+    m = empty_map(cfg)
+    rng2 = np.random.default_rng(5)
+    M = 8
+    K = cfg.k_max
+    feat = rng2.normal(0, 15, (cfg.max_keyframes, K, 2)).astype(np.float32)
+    m = m._replace(
+        poses=jnp.asarray(
+            np.pad(np.cumsum(rng2.normal(0, 1, (M, 3)), 0),
+                   ((0, cfg.max_keyframes - M), (0, 0))).astype(np.float32)),
+        feat_local=jnp.asarray(feat),
+        feat_mask=jnp.ones((cfg.max_keyframes, K), bool),
+        cursor=jnp.int32(M),
+    )
+    graph, matches = close_loops(m, cfg, min_index_gap=3)
+    assert graph.poses.shape[0] == cfg.max_keyframes
+    assert np.isfinite(np.asarray(matches.rel_pose)).all()
