@@ -142,9 +142,14 @@ def evaluate_sequence(
         from radarslampy_tpu.models.loopclosure import close_loops, trim_map_state
         from radarslampy_tpu.models.posegraph import optimize_pose_graph
 
+        if progress_every:
+            print("  backend: loop closure...", flush=True)
         m = trim_map_state(_jax.device_get(state.map))
         graph, matches = close_loops(m, cfg)
         res.n_loop_closures = int(np.asarray(matches.ok).sum())
+        if progress_every:
+            print(f"  backend: {res.n_loop_closures} loops; pose graph...",
+                  flush=True)
         M = int(np.asarray(m.cursor))
         kf_poses_before = np.asarray(m.poses)[:M]
         # nearest-GT association by position along the run (keyframes are a
