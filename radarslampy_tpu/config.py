@@ -97,6 +97,7 @@ class SlamConfig:
     sc_rings: int = 16                  # range rings per descriptor
     sc_sectors: int = 80                # azimuth sectors (must divide num_azimuths)
     sc_max_distance: float = 0.35       # acceptance gate on scan-context distance
+    m2dp_max_distance: float = 0.25     # acceptance gate on M2DP cosine distance
     loop_method: str = "both"           # candidates: "pose" | "appearance" | "m2dp" | "both"
 
     # ---- point cloud per keyframe (getPointCloud.py:28-52) ----

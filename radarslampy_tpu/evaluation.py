@@ -204,6 +204,10 @@ def main(argv=None):
                    help="map capacity override (full 9 km run needs ~8192)")
     p.add_argument("--per-scan", type=float, default=80.0,
                    help="target visible landmarks per scan (corridor world)")
+    p.add_argument("--world", default="corridor", choices=("corridor", "box"),
+                   help="synthetic world model; 'box' is the pre-corridor "
+                        "uniform world (ATE numbers are NOT comparable "
+                        "across worlds)")
     a = p.parse_args(argv)
 
     if a.cpu:
@@ -224,7 +228,7 @@ def main(argv=None):
           f"cart {a.cart_size}, loop_method {cfg.loop_method}")
     res = evaluate_sequence(poses, cfg, seed=a.seed, run_backend=a.backend,
                             noise=a.noise, progress_every=a.progress_every,
-                            landmarks_per_scan=a.per_scan)
+                            landmarks_per_scan=a.per_scan, world=a.world)
     print(f"odometry ATE {res.ate_odometry:.2f} m over {res.frames} frames "
           f"({res.fps:.1f} fps), {res.n_keyframes} keyframes")
     if a.backend:

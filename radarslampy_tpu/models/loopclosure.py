@@ -173,11 +173,27 @@ def verify_candidate(m: MapState, i, j, cfg: SlamConfig,
     return match._replace(ok=ok)
 
 
-def close_loops(m: MapState, cfg: SlamConfig, max_candidates: int = 16,
+def candidate_budget(n_keyframes: int, lo: int = 16, hi: int = 512) -> int:
+    """Loop-candidate budget scaled to the live map size.
+
+    One slot per ~8 keyframes, clamped to [lo, hi] and rounded up to a power
+    of two so repeated incremental-backend calls reuse compiled verify
+    programs instead of recompiling per map size.  A 9 km run with ~4.5k
+    keyframes gets 512 slots per candidate source where the old fixed 16
+    saturated and missed loops (VERDICT.md weak #2).
+    """
+    want = min(max(lo, n_keyframes // 8), hi)
+    return 1 << (want - 1).bit_length()
+
+
+def close_loops(m: MapState, cfg: SlamConfig, max_candidates: int | None = None,
                 radius_m: float = 10.0, min_index_gap: int = 20,
                 loop_info=(50.0, 50.0, 200.0), method: str | None = None):
     """Full loop-closure pass: candidates -> ICP verify -> pose graph with
     odometry chain + accepted loop edges (ready to optimise).
+
+    `max_candidates` defaults to `candidate_budget(live keyframes)` — scaled,
+    not fixed, so long revisit-heavy sequences don't saturate the list.
 
     `method` (default `cfg.loop_method`) picks the candidate source:
       * "pose"       — pose-proximity search (needs small drift)
@@ -193,6 +209,8 @@ def close_loops(m: MapState, cfg: SlamConfig, max_candidates: int = 16,
 
     method = method or cfg.loop_method
     assert method in ("pose", "appearance", "m2dp", "both"), method
+    if max_candidates is None:
+        max_candidates = candidate_budget(int(np.asarray(m.cursor)))
 
     cand_i, cand_j, cand_valid, cand_rot = [], [], [], []
     if method in ("pose", "both"):
@@ -224,7 +242,7 @@ def close_loops(m: MapState, cfg: SlamConfig, max_candidates: int = 16,
         md = m2dp_from_map(m)
         a = find_candidates_m2dp(
             md.desc, md.angle, m.cursor, max_candidates,
-            min_index_gap=min_index_gap,
+            min_index_gap=min_index_gap, max_distance=cfg.m2dp_max_distance,
         )
         cand_i.append(a.i)
         cand_j.append(a.j)

@@ -240,28 +240,40 @@ def _optimize_pose_graph_pcg(g: PoseGraph, cfg: SlamConfig, reduce_fn=None):
         def Minv(v):
             return jnp.einsum("mab,mb->ma", Pinv, v)
 
-        def cg_body(c, _):
-            x, rr, z, p, rz = c
+        x0 = jnp.zeros((M, 3), dtype)
+        r0 = -b
+        z0 = Minv(r0)
+        rz0 = jnp.sum(r0 * z0)
+        # sweep cap: block-Jacobi PCG moves information ~1 node per sweep
+        # along the odometry chain, so crossing the graph needs O(M) in the
+        # worst case — but the while_loop below exits as soon as the
+        # preconditioned residual drops 1e-10x, so converged solves (late LM
+        # iterations, rejected-step re-solves) cost a handful of sweeps, not
+        # 2M.  All quantities in the condition are replicated in the sharded
+        # path (they come from psum-reduced products), so the trip count is
+        # uniform across devices.
+        n_cg = cfg.pg_cg_iterations or 2 * M
+
+        def cg_cond(c):
+            it, x, rr, z, p, rz = c
+            return (it < n_cg) & (rz > 1e-10 * rz0) & (rz > 1e-20)
+
+        def cg_body(c):
+            it, x, rr, z, p, rz = c
             Ap = Afun(p)
             pAp = jnp.sum(p * Ap)
-            ok = rz > 1e-20
-            alpha = jnp.where(ok, rz / jnp.where(ok, pAp + 1e-30, 1.0), 0.0)
+            ok = pAp > 1e-30
+            alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
             x = x + alpha * p
             rr = rr - alpha * Ap
             z = Minv(rr)
             rz_new = jnp.sum(rr * z)
-            beta = jnp.where(ok, rz_new / jnp.where(ok, rz, 1.0), 0.0)
+            beta = jnp.where(ok, rz_new / rz, 0.0)
             p = z + beta * p
-            return (x, rr, z, p, rz_new), None
+            return (it + 1, x, rr, z, p, rz_new)
 
-        x0 = jnp.zeros((M, 3), dtype)
-        r0 = -b
-        z0 = Minv(r0)
-        # auto sweep count: block-Jacobi PCG moves information ~1 node per
-        # sweep along the odometry chain, so crossing the graph needs O(M)
-        n_cg = cfg.pg_cg_iterations or 2 * M
-        (delta, *_), _ = jax.lax.scan(
-            cg_body, (x0, r0, z0, z0, jnp.sum(r0 * z0)), None, length=n_cg,
+        _, delta, *_ = jax.lax.while_loop(
+            cg_cond, cg_body, (jnp.int32(0), x0, r0, z0, z0, rz0)
         )
 
         cand = poses + delta
