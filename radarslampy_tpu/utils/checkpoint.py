@@ -24,8 +24,13 @@ except Exception:  # pragma: no cover
     _HAVE_ORBAX = False
 
 
-def save_state(path: str, state: Any, trajectory=None) -> None:
-    """Save a pytree (SlamState) + optional (timestamps, poses) trajectory."""
+def save_state(path: str, state: Any, trajectory=None,
+               meta: Optional[dict] = None) -> None:
+    """Save a pytree (SlamState) + optional (timestamps, poses) trajectory.
+
+    `meta` (JSON-serialisable) records resume bookkeeping — e.g. the absolute
+    index of the next frame to process — read back by `load_meta`.
+    """
     os.makedirs(path, exist_ok=True)
     leaves, treedef = jax.tree_util.tree_flatten(state)
     np.savez(
@@ -33,14 +38,17 @@ def save_state(path: str, state: Any, trajectory=None) -> None:
         **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
     )
     with open(os.path.join(path, "treedef.json"), "w") as f:
-        json.dump({"n_leaves": len(leaves)}, f)
+        json.dump({"n_leaves": len(leaves), "meta": meta or {}}, f)
     if trajectory is not None:
         ts, poses = trajectory.as_arrays()
         np.savez(os.path.join(path, "trajectory.npz"), timestamps=ts, poses=poses)
 
 
 def load_state(path: str, like: Any) -> Tuple[Any, Optional[tuple]]:
-    """Restore a pytree saved by `save_state`, using `like` for the treedef."""
+    """Restore a pytree saved by `save_state`, using `like` for the treedef.
+
+    `like` only supplies tree structure — `jax.eval_shape` output works.
+    """
     data = np.load(os.path.join(path, "state.npz"))
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
     leaves = [data[f"leaf_{i}"] for i in range(len(leaves_like))]
@@ -51,3 +59,9 @@ def load_state(path: str, like: Any) -> Tuple[Any, Optional[tuple]]:
         t = np.load(traj_path)
         traj = (t["timestamps"], t["poses"])
     return state, traj
+
+
+def load_meta(path: str) -> dict:
+    """Resume metadata saved alongside the state (empty dict if none)."""
+    with open(os.path.join(path, "treedef.json")) as f:
+        return json.load(f).get("meta", {})

@@ -68,3 +68,57 @@ def test_plots_write_files(rng, tmp_path):
     plot_map(rng.random((100, 2)) * 50, rng.random(100) > 0.2,
              est_poses=est, subsample=1, save_path=p3)
     assert os.path.getsize(p3) > 1000
+
+
+def test_prefetcher_propagates_decode_errors(tmp_path):
+    """A corrupt/missing PNG must raise in the consumer, not hang the run
+    (VERDICT.md weak #6: silently-dead worker left __iter__ waiting forever)."""
+    import pytest
+
+    from radarslampy_tpu.models.system import _Prefetcher
+
+    bad = str(tmp_path / "missing.png")
+    pf = _Prefetcher([bad], CFG, raw_u8=True)
+    with pytest.raises(IOError):
+        next(iter(pf))
+
+    # corrupt bytes (valid path, not a PNG)
+    corrupt = tmp_path / "corrupt.png"
+    corrupt.write_bytes(b"not a png at all")
+    pf2 = _Prefetcher([str(corrupt)], CFG, raw_u8=True)
+    with pytest.raises(IOError):
+        next(iter(pf2))
+
+
+def test_run_resume_bitmatches_straight_run(tmp_path):
+    """A run checkpointed mid-sequence and resumed must produce the same final
+    pose and map as a single straight run (VERDICT.md next #8; replaces the
+    reference's feature-npz resume, getTransformKLT.py:405-425)."""
+    import pytest
+
+    from tests.conftest import TINY_ROOT, tiny_available
+
+    if not tiny_available():
+        pytest.skip("tiny dataset unavailable")
+
+    from radarslampy_tpu.models.system import RadarSlamSystem
+
+    cfg = SlamConfig(cart_size=1024, cart_downsample=4, n_candidates=512,
+                     mds_iterations=8)
+    straight = RadarSlamSystem("tiny", data_root=TINY_ROOT, cfg=cfg).run(0, 8)
+
+    ckpt = str(tmp_path / "ckpt")
+    sys_b = RadarSlamSystem("tiny", data_root=TINY_ROOT, cfg=cfg)
+    first_half = sys_b.run(0, 4, checkpoint_dir=ckpt)
+    resumed = sys_b.run(end=8, resume_from=ckpt)
+
+    assert first_half.frames == 5
+    assert resumed.frames == 4  # frames 5..8
+    _, sp = straight.trajectory.as_arrays()
+    _, rp = resumed.trajectory.as_arrays()
+    np.testing.assert_array_equal(sp, rp)
+    for a, b in zip(
+        __import__("jax").tree_util.tree_leaves(straight.final_state),
+        __import__("jax").tree_util.tree_leaves(resumed.final_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
