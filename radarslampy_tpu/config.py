@@ -100,8 +100,10 @@ class SlamConfig:
     m2dp_max_distance: float = 0.25     # acceptance gate on M2DP cosine distance
     loop_method: str = "both"           # candidates: "pose" | "appearance" | "m2dp" | "both"
 
-    # ---- point cloud per keyframe (getPointCloud.py:28-52) ----
+    # ---- point cloud per keyframe (getPointCloud.py:28-52; Mapping.py:62) ----
     pc_peaks_per_azimuth: int = 8       # padded peaks kept per azimuth
+    pc_points_per_kf: int = 512         # strongest peaks stored per keyframe
+                                        # (dense cloud for M2DP, sensor-local m)
 
     # ---- compute dtypes ----
     image_dtype: str = "float32"        # radar images are low-precision; bf16 optional

@@ -93,6 +93,10 @@ class MapState(NamedTuple):
     velocities: jax.Array   # [M, 3]
     cursor: jax.Array       # int32 — number of live keyframes
     descriptors: jax.Array  # [M, R, S] scan-context place-recognition signatures
+    pc_local: jax.Array     # [M, P, 2] dense peak point cloud, sensor-local m
+                            # (the per-keyframe cloud of Mapping.py:62, stored
+                            # undistorted — M2DP's intended input)
+    pc_mask: jax.Array      # [M, P]
 
 
 class SlamState(NamedTuple):
@@ -119,6 +123,7 @@ class StepOutput(NamedTuple):
     did_retrack: jax.Array  # bool
     fmt_rotation: jax.Array # float — FMT rotation estimate (diagnostic)
     fit_ok: jax.Array       # bool — rigid fit had enough points
+    fmt_scale: jax.Array    # float — FMT log-polar scale estimate (~1.0 rigid)
 
 
 def _px_to_metric(px, cfg: SlamConfig):
@@ -140,7 +145,36 @@ def empty_map(cfg: SlamConfig, dtype=jnp.float32) -> MapState:
         velocities=jnp.zeros((M, 3), dtype),
         cursor=jnp.int32(0),
         descriptors=jnp.zeros((M, cfg.sc_rings, cfg.sc_sectors), dtype),
+        pc_local=jnp.zeros((M, cfg.pc_points_per_kf, 2), dtype),
+        pc_mask=jnp.zeros((M, cfg.pc_points_per_kf), dtype=bool),
     )
+
+
+def keyframe_pointcloud(polar, velocity, cfg: SlamConfig):
+    """Dense sensor-local point cloud for a keyframe (Mapping.py:62).
+
+    `extract_pointcloud` finds per-azimuth power peaks (getPointCloud.py:11-52);
+    the strongest `pc_points_per_kf` across the whole scan are kept, converted
+    from (azimuth row, range bin) to metric (x, y) and motion-undistorted with
+    the current velocity — the reference stores its keyframe clouds precisely
+    "for computing descriptors like M2DP" and this is that input.
+    """
+    from radarslampy_tpu.ops.pointcloud import extract_pointcloud
+
+    pc = extract_pointcloud(polar, cfg)
+    A, P = pc.range_idx.shape
+    phi = (jnp.arange(A, dtype=polar.dtype) * (2.0 * jnp.pi / A))[:, None]
+    r = pc.range_idx * cfg.range_resolution_m
+    # image-frame convention shared with the Cartesian warp (grid.py:52-54):
+    # x along phi=0, y along phi=pi/2 (image row axis)
+    pts = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], axis=-1)  # [A, P, 2]
+    flat_pts = pts.reshape(A * P, 2)
+    score = jnp.where(pc.mask, pc.power, -jnp.inf).reshape(A * P)
+    vals, idx = jax.lax.top_k(score, cfg.pc_points_per_kf)
+    keep = jnp.isfinite(vals)
+    sel = flat_pts[idx]
+    sel = undistort(velocity, sel, cfg.scan_period_s)
+    return jnp.where(keep[:, None], sel, 0.0), keep
 
 
 def assign_new_ids(old_mask, new_mask, old_ids, next_id):
@@ -168,7 +202,8 @@ def _features_to_world(px, mask, pose, velocity, cfg: SlamConfig):
 
 
 def _write_keyframe(m: MapState, pose, feat_world, feat_local, feat_ids,
-                    feat_mask, velocity, descriptor) -> MapState:
+                    feat_mask, velocity, descriptor, pc_local,
+                    pc_mask) -> MapState:
     c = jnp.minimum(m.cursor, m.poses.shape[0] - 1)
     upd = jax.lax.dynamic_update_index_in_dim
     return MapState(
@@ -180,6 +215,8 @@ def _write_keyframe(m: MapState, pose, feat_world, feat_local, feat_ids,
         velocities=upd(m.velocities, velocity, c, 0),
         cursor=jnp.minimum(m.cursor + 1, jnp.int32(m.poses.shape[0])),
         descriptors=upd(m.descriptors, descriptor, c, 0),
+        pc_local=upd(m.pc_local, pc_local, c, 0),
+        pc_mask=upd(m.pc_mask, pc_mask, c, 0),
     )
 
 
@@ -209,9 +246,10 @@ def init_state(polar0, init_pose, maps: FrameMaps, cfg: SlamConfig) -> SlamState
     pose = jnp.asarray(init_pose, cart.dtype)
     vel = jnp.zeros(3, cart.dtype)
     feat_local, feat_world = _features_to_world(coords, mask, pose, vel, cfg)
+    pc_pts, pc_ok = keyframe_pointcloud(polar0, vel, cfg)
     m = _write_keyframe(
         empty_map(cfg, cart.dtype), pose, feat_world, feat_local, ids, mask, vel,
-        scan_context(polar0, cfg),
+        scan_context(polar0, cfg), pc_pts, pc_ok,
     )
     return SlamState(
         pose=pose,
@@ -235,15 +273,34 @@ def slam_step(state: SlamState, polar, maps: FrameMaps, cfg: SlamConfig):
     polar = _dequantize_polar(polar)
     cart = routed_polar_to_cartesian(polar, maps.routed)
 
-    # ---- FMT rotation estimate (gated; reference computes-and-ignores) ----
+    # ---- FMT rotation + log-polar scale estimate (gated; the reference
+    # computes-and-ignores rotation and never wires scale at all) ----
     if cfg.use_fmt:
-        fmt = estimate_rotation_fmt(state.prev_polar, polar, cfg)
+        fmt = estimate_rotation_fmt(state.prev_polar, polar, cfg,
+                                    grid=maps.grid)
         fmt_rot = fmt.rot_rad
+        fmt_scale = fmt.scale
     else:
         fmt_rot = jnp.zeros((), cart.dtype)
+        fmt_scale = jnp.ones((), cart.dtype)
 
     # ---- KLT tracking (Tracker.py:76-91) ----
-    tr = track_klt(state.prev_cart, cart, state.feat_px, state.feat_mask, cfg)
+    # With use_fmt the FMT rotation seeds the LK search as an initial flow
+    # (the scene rotates by fmt_rot about the sensor pixel): fast turns whose
+    # pixel motion exceeds the pyramid's reach stay tracked.  The reference
+    # computed exactly this estimate and threw it away (Tracker.py:62-72).
+    if cfg.use_fmt:
+        cR, sR = jnp.cos(fmt_rot), jnp.sin(fmt_rot)
+        d = state.feat_px - cfg.cart_center
+        pred = jnp.stack(
+            [cR * d[:, 0] - sR * d[:, 1], sR * d[:, 0] + cR * d[:, 1]],
+            axis=-1,
+        ) + cfg.cart_center
+        init_flow = pred - state.feat_px
+    else:
+        init_flow = None
+    tr = track_klt(state.prev_cart, cart, state.feat_px, state.feat_mask, cfg,
+                   init_flow=init_flow)
     n_tracked = jnp.sum(tr.status.astype(jnp.int32))
 
     # ---- geometric consistency outlier rejection (Tracker.py:93-95) ----
@@ -306,8 +363,9 @@ def slam_step(state: SlamState, polar, maps: FrameMaps, cfg: SlamConfig):
         )
         ids2, next2 = assign_new_ids(mask_in, mask2, state.feat_id, state.next_id)
         fl, fw = _features_to_world(coords2, mask2, pose_, vel_, cfg)
+        pc_pts, pc_ok = keyframe_pointcloud(polar, vel_, cfg)
         m2_ = _write_keyframe(m_, pose_, fw, fl, ids2, mask2, vel_,
-                              scan_context(polar, cfg))
+                              scan_context(polar, cfg), pc_pts, pc_ok)
         return coords2, mask2, ids2, next2, fw, pose_, m2_
 
     def plain_branch(op):
@@ -347,5 +405,6 @@ def slam_step(state: SlamState, polar, maps: FrameMaps, cfg: SlamConfig):
         did_retrack=retrack,
         fmt_rotation=fmt_rot,
         fit_ok=fit_ok,
+        fmt_scale=fmt_scale,
     )
     return new_state, out

@@ -61,6 +61,8 @@ def trim_map_state(m: MapState, pad_multiple: int = 256) -> MapState:
         velocities=cut(m.velocities),
         cursor=jnp.int32(M_live),
         descriptors=cut(m.descriptors),
+        pc_local=cut(m.pc_local),
+        pc_mask=cut(m.pc_mask),
     )
 
 

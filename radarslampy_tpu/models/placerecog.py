@@ -214,11 +214,22 @@ def m2dp_descriptor(points, mask, n_dirs: int = 16, n_bins: int = 24,
 
 
 def m2dp_from_map(m, n_dirs: int = 16, n_bins: int = 24,
-                  radius_m: float = 80.0):
-    """Batched M2DP over a MapState's keyframe feature clouds: [M, D+B]."""
+                  radius_m: float = 80.0, source: str = "auto"):
+    """Batched M2DP over a MapState's keyframe clouds: [M, D+B].
+
+    `source`: "pointcloud" uses the stored dense peak clouds (`m.pc_local` —
+    what the reference stores keyframe clouds *for*, Mapping.py:62), "features"
+    the sparse ANMS feature clouds, "auto" prefers the point clouds whenever
+    any keyframe has one (sparse-feature maps built by tests/back-compat paths
+    still work).
+    """
+    use_pc = source == "pointcloud" or (
+        source == "auto" and bool(jnp.any(m.pc_mask))
+    )
+    pts, mask = (m.pc_local, m.pc_mask) if use_pc else (m.feat_local, m.feat_mask)
     return jax.vmap(
         lambda p, k: m2dp_descriptor(p, k, n_dirs, n_bins, radius_m)
-    )(m.feat_local, m.feat_mask)
+    )(pts, mask)
 
 
 @partial(jax.jit, static_argnames=("max_candidates", "min_index_gap"))

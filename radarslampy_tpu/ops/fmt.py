@@ -64,23 +64,40 @@ class FmtResult(NamedTuple):
 
 
 def estimate_rotation_fmt(prev_polar, curr_polar, cfg: SlamConfig,
-                          log_base: float | None = None) -> FmtResult:
+                          grid=None) -> FmtResult:
     """Rotation (and scale) between two polar scans [A, W].
 
     A scene rotation by dphi shifts polar rows by dphi / (2*pi) * A; a scale
-    change shifts log-range columns by log_base(scale).  Mirrors the angle/scale
-    extraction of `FMT.py:76-88` with sign matching its
+    change shifts *log*-range columns by log(scale)/log(log_base).  Mirrors the
+    angle/scale extraction of `FMT.py:76-88` with sign matching its
     `rotRad = -delta_y * 2*pi / height` convention.
+
+    `grid` (a `GridMaps`): when given, both scans are resampled to log-polar
+    range spacing (the direct 1-D resample of grid.polar_to_logpolar — no
+    Cartesian round-trip, unlike the reference's double cv2.warpPolar,
+    `parseData.py:138-157`) and the column shift of the correlation peak
+    yields the scale factor `log_base ** dx` exactly as `FMT.py:86-88`.
+    Without `grid` the scans are used in linear range spacing and scale is
+    reported as 1.0 (rigid radar scenes).
     """
     A = prev_polar.shape[0]
     # light range downsampling like FMT_DOWNSAMPLE_FACTOR (FMT.py:10) to cut FFT cost
     ds = cfg.fmt_downsample
-    a = prev_polar[:, ::ds]
-    b = curr_polar[:, ::ds]
-    dy, dx, resp = phase_correlate(a, b)
-    rot = -dy * 2.0 * jnp.pi / A
-    if log_base is None:
-        scale = jnp.ones_like(dx)
+    if grid is not None:
+        from radarslampy_tpu.ops.grid import polar_to_logpolar
+
+        a = polar_to_logpolar(prev_polar, grid, cfg)[:, ::ds]
+        b = polar_to_logpolar(curr_polar, grid, cfg)[:, ::ds]
+        dy, dx, resp = phase_correlate(a, b)
+        rot = -dy * 2.0 * jnp.pi / A
+        # same sign convention as rotation: phase_correlate reports -d for a
+        # content shift of +d, and a scene scaled by s shifts log-range
+        # columns by +log(s)/log(base)
+        scale = jnp.asarray(grid.log_base, a.dtype) ** (-dx * ds)
     else:
-        scale = jnp.asarray(log_base, a.dtype) ** (dx * ds)
+        a = prev_polar[:, ::ds]
+        b = curr_polar[:, ::ds]
+        dy, dx, resp = phase_correlate(a, b)
+        rot = -dy * 2.0 * jnp.pi / A
+        scale = jnp.ones_like(dx)
     return FmtResult(rot_rad=rot, scale=scale, response=resp)

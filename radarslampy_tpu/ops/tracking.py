@@ -102,12 +102,18 @@ class TrackResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def track_klt(prev_img, curr_img, coords, mask, cfg: SlamConfig) -> TrackResult:
+def track_klt(prev_img, curr_img, coords, mask, cfg: SlamConfig,
+              init_flow=None) -> TrackResult:
     """Track [K,2] (x, y) feature coords from prev_img to curr_img.
 
     Returns new coords plus a status mask combining the input mask, an
     in-bounds check and the error gate — the masked analogue of the reference's
     `status &= err < ERR_THRESHOLD` (`getTransformKLT.py:360-366`).
+
+    `init_flow` [K,2]: optional initial displacement guess (e.g. from the FMT
+    rotation prior) — extends LK's convergence basin past the pyramid's reach
+    on fast turns.  cv2's equivalent is OPTFLOW_USE_INITIAL_FLOW, which the
+    reference never sets.
     """
     W = cfg.klt_window
     L = cfg.klt_pyramid_levels
@@ -119,7 +125,8 @@ def track_klt(prev_img, curr_img, coords, mask, cfg: SlamConfig) -> TrackResult:
     pyr_prev = build_pyramid(prev_img, L)
     pyr_curr = build_pyramid(curr_img, L)
 
-    flow = jnp.zeros_like(coords)  # displacement at full resolution
+    # displacement at full resolution
+    flow = jnp.zeros_like(coords) if init_flow is None else init_flow
     for level in range(L - 1, -1, -1):
         scale = 2.0**level
         p_img = pyr_prev[level]

@@ -102,6 +102,8 @@ def test_build_ba_problem_from_map(rng):
         velocities=jnp.zeros((M_cap, 3), jnp.float32),
         cursor=jnp.int32(cursor),
         descriptors=jnp.zeros((M_cap, 16, 80), jnp.float32),
+        pc_local=jnp.zeros((M_cap, 8, 2), jnp.float32),
+        pc_mask=jnp.zeros((M_cap, 8), dtype=bool),
     )
     p = build_ba_problem(ms, min_views=2)
     assert int(p.lm_mask.sum()) == 1           # only landmark 7 kept

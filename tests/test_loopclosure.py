@@ -82,6 +82,8 @@ def _loop_map(rng, n=30, drift=0.4):
         velocities=jnp.zeros((M, 3), jnp.float32),
         cursor=jnp.int32(len(gt)),
         descriptors=jnp.zeros((M, 16, 80), jnp.float32),
+        pc_local=jnp.zeros((M, 8, 2), jnp.float32),
+        pc_mask=jnp.zeros((M, 8), dtype=bool),
     )
     poses_est = gt.copy()
     # linear drift along the run

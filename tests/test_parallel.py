@@ -52,6 +52,8 @@ def _toy_map(M=64, K=8):
         velocities=jnp.zeros((M, 3), jnp.float32),
         cursor=jnp.int32(40),
         descriptors=jnp.asarray(rng.uniform(size=(M, 16, 80)).astype(np.float32)),
+        pc_local=jnp.zeros((M, 8, 2), jnp.float32),
+        pc_mask=jnp.zeros((M, 8), dtype=bool),
     )
 
 

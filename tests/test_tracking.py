@@ -99,3 +99,53 @@ def test_pyramid_shapes(rng):
     img = jnp.asarray(_texture(rng, 256))
     pyr = build_pyramid(img, 4)
     assert [p.shape[0] for p in pyr] == [256, 128, 64, 32]
+
+
+def test_fmt_rotation_prior_rescues_fast_turns(rng):
+    """use_fmt=True seeds KLT with the FMT rotation as initial flow: on a turn
+    fast enough to defeat the bare pyramid, the prior must keep (many) more
+    features tracked and the heading estimate accurate (VERDICT.md next #9 —
+    the reference computed this estimate every frame and discarded it,
+    Tracker.py:62-72)."""
+    import dataclasses
+
+    import jax
+
+    from radarslampy_tpu.config import SlamConfig
+    from radarslampy_tpu.models import frontend
+    from radarslampy_tpu.models.frontend import build_frame_maps
+    from radarslampy_tpu.sim import fakedata as fd
+
+    base = SlamConfig(cart_size=512, cart_downsample=8, n_candidates=256,
+                      anms_top_k=100, k_max=128, mds_iterations=8)
+    turn = 0.35  # rad/frame — ~20 deg, far past the LK pyramid's reach
+    T = 4
+    poses = np.stack([np.array([0.0, 0.0, turn * t]) for t in range(T)])
+    world_pts, world_refl = fd.make_world(rng, 700, 60.0)
+    frames = [
+        fd.render_polar_scan(world_pts, world_refl, p, base, rng=rng, noise=0.01)
+        for p in poses
+    ]
+
+    def run(cfg):
+        maps = build_frame_maps(cfg)
+        init = jax.jit(lambda p, m: frontend.init_state(p, jnp.zeros(3), m, cfg))
+        step = jax.jit(lambda s, p, m: frontend.slam_step(s, p, m, cfg))
+        state = init(jnp.asarray(frames[0]), maps)
+        inliers, pose = [], None
+        for f in frames[1:]:
+            state, out = step(state, jnp.asarray(f), maps)
+            inliers.append(int(out.n_inliers))
+            pose = np.asarray(out.pose)
+        return min(inliers), pose
+
+    inl_off, pose_off = run(base)
+    inl_on, pose_on = run(dataclasses.replace(base, use_fmt=True))
+
+    # the prior must keep the track alive and the final heading accurate
+    err_on = abs((pose_on[2] - poses[-1][2] + np.pi) % (2 * np.pi) - np.pi)
+    assert inl_on >= 15, f"FMT prior failed to hold the track: {inl_on}"
+    assert err_on < 0.05, f"heading error {err_on:.3f} rad with FMT prior"
+    # and it must be a drastic improvement over the bare pyramid, which loses
+    # nearly everything at this turn rate
+    assert inl_on >= 3 * max(inl_off, 1), (inl_off, inl_on)
