@@ -31,6 +31,7 @@ class EvalResult:
     ate_odometry: float
     n_keyframes: int
     n_loop_closures: int = 0
+    n_online_loops: int = 0
     ate_keyframes_before: Optional[float] = None
     ate_keyframes_after: Optional[float] = None
     final_state: object = None       # SlamState when return_state=True
@@ -63,8 +64,15 @@ def evaluate_sequence(
     return_state: bool = False,
     world: str = "corridor",
     landmarks_per_scan: float = 80.0,
+    backend_every: int = 0,
 ):
-    """Render scans along poses_gt, run SLAM, report ATE (+backend ATE)."""
+    """Render scans along poses_gt, run SLAM, report ATE (+backend ATE).
+
+    `backend_every`: frames between ONLINE loop-closure + pose-graph passes
+    fed back into the running state (0 = off); the final post-hoc backend
+    still runs when `run_backend` so before/after keyframe ATE is reported
+    on the (possibly mid-run-corrected) map.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -113,10 +121,19 @@ def evaluate_sequence(
     T = len(poses_gt)
     state = init(jnp.asarray(render(0)), maps)
     device_poses = []
+    n_online_loops = 0
     t0 = time.perf_counter()
     for t in range(1, T):
         state, out = step(state, jnp.asarray(render(t)), maps)
         device_poses.append(out.pose)
+        if backend_every and t % backend_every == 0:
+            from radarslampy_tpu.models.loopclosure import incremental_backend
+
+            state, nl, _ = incremental_backend(state, cfg)
+            n_online_loops += nl
+            if progress_every and nl:
+                print(f"  frame {t}: online backend closed {nl} loops",
+                      flush=True)
         if progress_every and t % progress_every == 0:
             print(f"  frame {t}/{T}", flush=True)
     import jax as _jax
@@ -133,6 +150,7 @@ def evaluate_sequence(
         fps=fps,
         ate_odometry=ate,
         n_keyframes=int(state.map.cursor),
+        n_online_loops=n_online_loops,
     )
     if return_state:
         res.final_state = state
@@ -195,6 +213,9 @@ def main(argv=None):
     p.add_argument("--noise", type=float, default=0.02)
     p.add_argument("--backend", action="store_true",
                    help="run loop closure + pose graph after odometry")
+    p.add_argument("--backend-every", type=int, default=0,
+                   help="frames between ONLINE backend passes fed back into "
+                        "the run (0 = post-hoc only)")
     p.add_argument("--loop-method", default=None,
                    choices=("pose", "appearance", "m2dp", "both"))
     p.add_argument("--cart-size", type=int, default=1024)
@@ -228,9 +249,11 @@ def main(argv=None):
           f"cart {a.cart_size}, loop_method {cfg.loop_method}")
     res = evaluate_sequence(poses, cfg, seed=a.seed, run_backend=a.backend,
                             noise=a.noise, progress_every=a.progress_every,
-                            landmarks_per_scan=a.per_scan, world=a.world)
+                            landmarks_per_scan=a.per_scan, world=a.world,
+                            backend_every=a.backend_every)
     print(f"odometry ATE {res.ate_odometry:.2f} m over {res.frames} frames "
-          f"({res.fps:.1f} fps), {res.n_keyframes} keyframes")
+          f"({res.fps:.1f} fps), {res.n_keyframes} keyframes, "
+          f"{res.n_online_loops} online loops")
     if a.backend:
         print(f"loop closures: {res.n_loop_closures}; keyframe ATE "
               f"{res.ate_keyframes_before:.2f} -> {res.ate_keyframes_after} m")

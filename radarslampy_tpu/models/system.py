@@ -41,6 +41,8 @@ class RunResult:
     final_state: frontend.SlamState
     # backend (loop closure + pose graph), present when run(optimize=True)
     n_loop_closures: int = 0
+    # loops found by ONLINE backend passes (run(backend_every=N))
+    n_online_loops: int = 0
     kf_poses_optimized: Optional[np.ndarray] = None
     posegraph_cost: Optional[float] = None
     # bundle adjustment (run(optimize=True, ba=True))
@@ -238,7 +240,8 @@ class RadarSlamSystem:
     def run(self, start: int = 0, end: int = -1, optimize: bool = False,
             ba: bool = False, checkpoint_dir: Optional[str] = None,
             checkpoint_every: int = 0,
-            resume_from: Optional[str] = None) -> RunResult:
+            resume_from: Optional[str] = None,
+            backend_every: int = 0) -> RunResult:
         """Run the SLAM pipeline over frames [start, end].
 
         `resume_from`: directory written by a previous run's checkpoint —
@@ -246,6 +249,12 @@ class RadarSlamSystem:
         after the checkpoint (replaces-and-beats the reference's npz feature
         snapshots, `getTransformKLT.py:405-425`).  `start` is taken from the
         checkpoint metadata.
+
+        `backend_every`: frames between ONLINE loop-closure + pose-graph
+        passes whose corrections are fed back into the running state
+        (models/loopclosure.incremental_backend); 0 = post-hoc only.  Each
+        pass costs one device fetch — on the axon remote-TPU client that
+        degrades subsequent dispatch, so meant for long offline runs.
         """
         paths = self.img_paths
         resumed_state = None
@@ -300,6 +309,7 @@ class RadarSlamSystem:
         # completes on device.
         t0 = time.perf_counter()
         n = 0
+        n_online_loops = 0
         stamps, device_poses, device_health = [], [], []
         for frame in it:
             state, out = self._step_fn(state, frame.power, self.maps)
@@ -313,6 +323,11 @@ class RadarSlamSystem:
                 t0 = time.perf_counter()
             if self.progress is not None:
                 self.progress(n, out)
+            if backend_every and n % backend_every == 0:
+                from radarslampy_tpu.models.loopclosure import incremental_backend
+
+                state, nl, _ = incremental_backend(state, self.cfg)
+                n_online_loops += nl
             if checkpoint_dir and checkpoint_every and n % checkpoint_every == 0:
                 # NOTE: checkpointing forces a device fetch mid-run; on the
                 # axon remote-TPU client this degrades subsequent dispatch —
@@ -361,6 +376,7 @@ class RadarSlamSystem:
             fps=(n - 1) / dt if dt > 0 and n > 1 else float("inf"),
             final_state=state,
             n_loop_closures=n_loops,
+            n_online_loops=n_online_loops,
             kf_poses_optimized=kf_opt,
             posegraph_cost=pg_cost,
             kf_poses_ba=kf_ba,

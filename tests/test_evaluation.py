@@ -40,3 +40,49 @@ def test_evaluation_cli(small_cfg, capsys):
     out = capsys.readouterr().out
     assert "odometry ATE" in out
     assert res.frames == 25
+
+
+def _square_laps(side_m=40.0, step_m=2.0, laps=2, corner_frames=10):
+    """GT poses driving `laps` times around a rounded square (revisit-heavy);
+    corners are smooth arcs so per-frame rotation stays trackable."""
+    per_side = int(side_m / step_m)
+    poses = []
+    pose = np.zeros(3)
+    for _ in range(laps * 4):
+        for _ in range(per_side):
+            poses.append(pose.copy())
+            pose[0] += step_m * np.cos(pose[2])
+            pose[1] += step_m * np.sin(pose[2])
+        for _ in range(corner_frames):
+            poses.append(pose.copy())
+            pose[2] = (pose[2] + np.pi / 2 / corner_frames + np.pi) % (
+                2 * np.pi) - np.pi
+            pose[0] += 0.5 * step_m * np.cos(pose[2])
+            pose[1] += 0.5 * step_m * np.sin(pose[2])
+    return np.stack(poses)
+
+
+def test_online_backend_reduces_ate(small_cfg):
+    """Mid-run loop-closure corrections must reduce the FRAME-trajectory ATE
+    vs the post-hoc-only path (post-hoc can only fix keyframes after the
+    fact; online correction changes where odometry continues from) —
+    VERDICT.md next #2's done-criterion."""
+    import dataclasses
+
+    cfg = dataclasses.replace(small_cfg, loop_method="pose")
+    poses = _square_laps()
+
+    posthoc = evaluation.evaluate_sequence(
+        poses, cfg, seed=11, noise=0.05, run_backend=True)
+    online = evaluation.evaluate_sequence(
+        poses, cfg, seed=11, noise=0.05, run_backend=True, backend_every=30)
+
+    assert online.n_online_loops > 0, "online backend never fired"
+    # drift must be material for the comparison to mean anything
+    assert posthoc.ate_odometry > 0.3, posthoc.ate_odometry
+    assert online.ate_odometry < posthoc.ate_odometry, (
+        online.ate_odometry, posthoc.ate_odometry)
+    # and the final map is no worse than the post-hoc-only map
+    if posthoc.ate_keyframes_after is not None and (
+            online.ate_keyframes_after is not None):
+        assert online.ate_keyframes_after <= posthoc.ate_keyframes_after * 1.5

@@ -127,3 +127,77 @@ def test_close_loops_reduces_drift(rng):
     err_before = np.linalg.norm(est[:, :2] - gt[:, :2], axis=1).mean()
     err_after = np.linalg.norm(poses_opt[:, :2] - gt[:, :2], axis=1).mean()
     assert err_after < err_before * 0.8, (err_before, err_after)
+
+
+def test_loop_recall_many_revisits(rng):
+    """Plant 55 revisits in a 900-keyframe synthetic map and require >=90%
+    recall of the planted loops (VERDICT.md next #3: the candidate budget
+    scales with map size; the old fixed 16-pair ceiling provably misses)."""
+    from radarslampy_tpu.models.loopclosure import candidate_budget
+
+    M_cap, K = 1024, 64
+    n_base = 845
+    n_planted = 55
+    gap = 40
+
+    # base path: a smooth random walk exploring new ground (2 m steps)
+    th = np.cumsum(rng.normal(0, 0.08, n_base))
+    xy = np.cumsum(np.stack([2.0 * np.cos(th), 2.0 * np.sin(th)], 1), axis=0)
+    gt = np.concatenate([xy, th[:, None]], axis=1)
+
+    # plant revisits: keyframe j_k sits on top of earlier keyframe i_k
+    base_idx = rng.choice(np.arange(n_base - gap), n_planted, replace=False)
+    planted = []
+    for k, i_k in enumerate(np.sort(base_idx)):
+        j_k = n_base + k
+        p = gt[i_k].copy()
+        p[:2] += rng.normal(0, 0.5, 2)   # not exactly on top
+        gt = np.vstack([gt, p[None]])
+        planted.append((int(i_k), int(j_k)))
+    M = len(gt)                           # 900
+
+    # drifted pose estimates (what the map believes)
+    drift = np.linspace(0, 5.0, M)[:, None] * np.array([1.0, 0.4, 0.0])
+    est = gt + drift
+
+    world = rng.uniform(gt[:, :2].min() - 50, gt[:, :2].max() + 50, (4000, 2))
+    feat_local = np.zeros((M_cap, K, 2), np.float32)
+    feat_mask = np.zeros((M_cap, K), bool)
+    for m in range(M):
+        d = np.linalg.norm(world - gt[m][:2], axis=1)
+        near = np.argsort(d)[: K // 2]
+        feat_local[m, : len(near)] = _local_view(gt[m], world[near])
+        feat_mask[m, : len(near)] = True
+
+    ms = MapState(
+        poses=jnp.asarray(np.pad(est, ((0, M_cap - M), (0, 0))).astype(np.float32)),
+        feat_world=jnp.zeros((M_cap, K, 2), jnp.float32),
+        feat_local=jnp.asarray(feat_local),
+        feat_ids=jnp.full((M_cap, K), -1, jnp.int32),
+        feat_mask=jnp.asarray(feat_mask),
+        velocities=jnp.zeros((M_cap, 3), jnp.float32),
+        cursor=jnp.int32(M),
+        descriptors=jnp.zeros((M_cap, 16, 80), jnp.float32),
+        pc_local=jnp.zeros((M_cap, 8, 2), jnp.float32),
+        pc_mask=jnp.zeros((M_cap, 8), dtype=bool),
+    )
+
+    assert candidate_budget(M) >= 2 * n_planted  # budget scaled past old 16
+
+    cfg = SlamConfig(pg_iterations=20, loop_method="pose")
+    graph, matches = close_loops(ms, cfg, radius_m=12.0, min_index_gap=gap)
+    ci = np.asarray(graph.edges_ij[M_cap:, 0])
+    cj = np.asarray(graph.edges_ij[M_cap:, 1])
+    ok = np.asarray(graph.edge_mask[M_cap:])
+
+    found = 0
+    for i_k, j_k in planted:
+        hit = ok & (np.abs(ci - i_k) <= 3) & (np.abs(cj - j_k) <= 3)
+        found += bool(hit.any())
+    recall = found / n_planted
+    assert recall >= 0.9, f"loop recall {recall:.2f} ({found}/{n_planted})"
+
+    # the old fixed 16-candidate ceiling misses most of them
+    _, m16 = close_loops(ms, cfg, max_candidates=16, radius_m=12.0,
+                         min_index_gap=gap)
+    assert int(np.asarray(m16.ok).sum()) <= 16 < found
