@@ -26,6 +26,18 @@ def main(argv=None):
                     help="run loop-closure + pose-graph optimisation at the end")
     ap.add_argument("--ba", action="store_true",
                     help="also run Schur-complement bundle adjustment")
+    ap.add_argument("--backend-every", type=int, default=0,
+                    help="frames between ONLINE loop-closure passes fed back "
+                         "into the run (0 = post-hoc only)")
+    ap.add_argument("--viz-dir", default=None,
+                    help="save per-frame tracking/trajectory composites here "
+                         "+ map.png + run.mp4 (RawROAMSystem.py:273-294 parity)")
+    ap.add_argument("--viz-every", type=int, default=3,
+                    help="frames between composites (reference: every 3rd)")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=0)
+    ap.add_argument("--resume-from", default=None,
+                    help="resume a run from a checkpoint directory")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args(argv)
 
@@ -45,7 +57,12 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, cart_size=args.cart_size, cart_downsample=ds)
 
     sys_ = RadarSlamSystem(args.sequence, data_root=args.data_root, cfg=cfg)
-    res = sys_.run(args.start, args.end, optimize=args.loop_closure, ba=args.ba)
+    res = sys_.run(args.start, args.end, optimize=args.loop_closure, ba=args.ba,
+                   backend_every=args.backend_every, viz_dir=args.viz_dir,
+                   viz_every=args.viz_every,
+                   checkpoint_dir=args.checkpoint_dir,
+                   checkpoint_every=args.checkpoint_every,
+                   resume_from=args.resume_from)
 
     summary = {
         "sequence": args.sequence,
@@ -54,6 +71,8 @@ def main(argv=None):
         "fps": round(res.fps, 3),
         "rmse_vs_gt_m": round(res.rmse_vs_gt, 3) if res.rmse_vs_gt is not None else None,
     }
+    if args.backend_every:
+        summary["online_loops"] = res.n_online_loops
     if args.loop_closure:
         summary["loop_closures"] = res.n_loop_closures
         if res.posegraph_cost is not None:
@@ -74,9 +93,23 @@ def main(argv=None):
         gt = (
             res.gt_trajectory.pose_at_times(ts) if res.gt_trajectory is not None else None
         )
+        # GPS overlay (trajectoryPlotting.py:216-237 intent; UTM units fixed),
+        # rigidly aligned into the odometry frame for the covered window
+        gps_xy = None
+        try:
+            from radarslampy_tpu.io.oxford import load_gps_trajectory
+            from radarslampy_tpu.viz.plots import align_xy
+
+            gps_ts, gps = load_gps_trajectory(sys_.paths["gps"])
+            sel = (gps_ts >= ts[0]) & (gps_ts <= ts[-1])
+            if sel.sum() >= 2:
+                gps_xy = align_xy(gps[sel], np.asarray(est)[:, :2])
+        except (OSError, ValueError, IndexError):
+            pass
         plot_trajectories(
             gt, est, title=args.sequence, rmse=res.rmse_vs_gt,
             save_path=os.path.join(args.out_dir, "trajectory.jpg"),
+            gps_xy=gps_xy,
         )
         with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)

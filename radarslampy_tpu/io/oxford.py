@@ -108,8 +108,19 @@ def load_gt_trajectory(csv_path: str):
 
 
 def load_gps_trajectory(csv_path: str):
-    """GPS csv loader (trajectoryPlotting.py:216-237): (timestamps, x, y)."""
-    rows = np.genfromtxt(csv_path, delimiter=",", skip_header=1)
+    """GPS csv loader -> (timestamps [N], xy [N, 2] metres, first-fix anchored).
+
+    The Oxford gps.csv layout is (timestamp, num_satellites, lat, lon, alt,
+    ..., northing, easting, down, utm_zone); metric positions are UTM
+    northing/easting at columns 8/9.  The reference reads columns 2/3 —
+    latitude/longitude in degrees — straight into x/y
+    (`trajectoryPlotting.py:216-237`), a units bug it never hits because the
+    GPS overlay is only eyeballed; fixed here.  xy is re-anchored to the
+    first fix (easting -> x, northing -> y).
+    """
+    rows = np.genfromtxt(csv_path, delimiter=",", skip_header=1,
+                         usecols=(0, 8, 9))
+    rows = np.atleast_2d(rows)
     stamps = rows[:, 0].astype(np.int64)
-    xy = rows[:, 1:3]
-    return stamps, xy
+    xy = np.stack([rows[:, 2], rows[:, 1]], axis=1)
+    return stamps, xy - xy[0]

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import queue
 import threading
 import time
@@ -241,7 +242,9 @@ class RadarSlamSystem:
             ba: bool = False, checkpoint_dir: Optional[str] = None,
             checkpoint_every: int = 0,
             resume_from: Optional[str] = None,
-            backend_every: int = 0) -> RunResult:
+            backend_every: int = 0,
+            viz_dir: Optional[str] = None,
+            viz_every: int = 3) -> RunResult:
         """Run the SLAM pipeline over frames [start, end].
 
         `resume_from`: directory written by a previous run's checkpoint —
@@ -255,6 +258,12 @@ class RadarSlamSystem:
         (models/loopclosure.incremental_backend); 0 = post-hoc only.  Each
         pass costs one device fetch — on the axon remote-TPU client that
         degrades subsequent dispatch, so meant for long offline runs.
+
+        `viz_dir`: when set, a tracked-features + trajectory composite is
+        saved every `viz_every` frames and assembled into run.mp4 at the end
+        (the reference's every-3rd-frame figure + ffmpeg export,
+        RawROAMSystem.py:273-294,493-516).  Host-side, but each figure costs
+        a device fetch — same axon caveat as backend_every.
         """
         paths = self.img_paths
         resumed_state = None
@@ -311,6 +320,7 @@ class RadarSlamSystem:
         n = 0
         n_online_loops = 0
         stamps, device_poses, device_health = [], [], []
+        viz_poses: List[np.ndarray] = []
         for frame in it:
             state, out = self._step_fn(state, frame.power, self.maps)
             stamps.append(frame.frame_timestamp)
@@ -328,6 +338,25 @@ class RadarSlamSystem:
 
                 state, nl, _ = incremental_backend(state, self.cfg)
                 n_online_loops += nl
+            if viz_dir and viz_every and n % viz_every == 0:
+                from radarslampy_tpu.viz.plots import plot_frame_composite
+
+                os.makedirs(viz_dir, exist_ok=True)
+                viz_poses.append(np.asarray(jax.device_get(out.pose)))
+                est_xy = np.stack(viz_poses)[:, :2]
+                gt_xy = None
+                if self.gt_traj is not None:
+                    gt_xy = np.asarray(
+                        self.gt_traj.pose_at_times(stamps[:: max(viz_every, 1)])
+                    )[:, :2]
+                plot_frame_composite(
+                    np.asarray(jax.device_get(state.prev_cart)),
+                    np.asarray(jax.device_get(state.feat_px)),
+                    np.asarray(jax.device_get(state.feat_mask)),
+                    gt_xy, est_xy,
+                    os.path.join(viz_dir, f"frame_{start + n:06d}.jpg"),
+                    title=f"frame {start + n}",
+                )
             if checkpoint_dir and checkpoint_every and n % checkpoint_every == 0:
                 # NOTE: checkpointing forces a device fetch mid-run; on the
                 # axon remote-TPU client this degrades subsequent dispatch —
@@ -365,6 +394,21 @@ class RadarSlamSystem:
 
             save_state(checkpoint_dir, jax.device_get(state), est,
                        meta={"next_frame_index": last_abs + 1})
+
+        if viz_dir:
+            # end-of-run artifacts: global map scatter + mp4 assembly
+            # (RawROAMSystem.py:493-516; Map.plot, Mapping.py:184-206)
+            from radarslampy_tpu.viz.plots import frames_to_mp4, plot_map
+
+            frames_to_mp4(viz_dir, os.path.join(viz_dir, "run.mp4"))
+            m = jax.device_get(state.map)
+            _, est_poses = est.as_arrays()
+            plot_map(
+                np.asarray(m.feat_world).reshape(-1, 2),
+                np.asarray(m.feat_mask).reshape(-1),
+                est_poses=np.asarray(est_poses),
+                save_path=os.path.join(viz_dir, "map.png"),
+            )
 
         return RunResult(
             trajectory=est,

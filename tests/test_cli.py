@@ -68,3 +68,43 @@ def test_system_run_with_optimize_and_checkpoint(rng, tmp_path):
     np.testing.assert_allclose(
         np.asarray(restored.pose), np.asarray(host_state.pose)
     )
+
+
+@pytest.mark.skipif(not tiny_available(), reason="tiny dataset unavailable")
+def test_cli_viz_and_gps_overlay(tmp_path, capsys):
+    """--viz-dir writes per-frame composites + map.png, and the trajectory
+    plot gets the GPS overlay (RawROAMSystem.py:273-294 + trajectoryPlotting
+    GPS parity; VERDICT.md next #10)."""
+    from radarslampy_tpu.__main__ import main
+
+    out_dir = str(tmp_path / "out")
+    viz_dir = str(tmp_path / "viz")
+    rc = main([
+        "tiny", "--data-root", TINY_ROOT, "--cart-size", "512",
+        "--out-dir", out_dir, "--viz-dir", viz_dir, "--viz-every", "3",
+    ])
+    assert rc == 0
+    frames = [f for f in os.listdir(viz_dir) if f.startswith("frame_")]
+    assert len(frames) == 3  # 10 tracked frames, every 3rd
+    for f in frames:
+        assert os.path.getsize(os.path.join(viz_dir, f)) > 5000
+    assert os.path.getsize(os.path.join(viz_dir, "map.png")) > 5000
+    assert os.path.getsize(os.path.join(out_dir, "trajectory.jpg")) > 1000
+
+
+def test_gps_loader_metric_units():
+    """load_gps_trajectory returns metric UTM xy (easting/northing), anchored
+    — not the lat/lon-degrees-as-xy of the reference's loader."""
+    gps_csv = os.path.join(TINY_ROOT, "tiny", "gps", "gps.csv")
+    if not os.path.exists(gps_csv):
+        pytest.skip("tiny gps absent")
+    from radarslampy_tpu.io.oxford import load_gps_trajectory
+
+    ts, xy = load_gps_trajectory(gps_csv)
+    assert xy.shape[1] == 2
+    import numpy as np
+
+    np.testing.assert_allclose(xy[0], 0.0)
+    # over the tiny window the platform moves metres, not degrees
+    span = np.abs(xy).max()
+    assert 0.1 < span < 1000.0, span
