@@ -229,6 +229,7 @@ def main(argv=None):
                    help="synthetic world model; 'box' is the pre-corridor "
                         "uniform world (ATE numbers are NOT comparable "
                         "across worlds)")
+    p.add_argument("--out", default=None, help="write a JSON result artifact")
     a = p.parse_args(argv)
 
     if a.cpu:
@@ -257,6 +258,40 @@ def main(argv=None):
     if a.backend:
         print(f"loop closures: {res.n_loop_closures}; keyframe ATE "
               f"{res.ate_keyframes_before:.2f} -> {res.ate_keyframes_after} m")
+    if a.out:
+        import json
+
+        import jax
+
+        art = {
+            "gt_csv": a.gt_csv,
+            "start": a.start,
+            "count": a.count,
+            "path_m": round(dist, 1),
+            "world": a.world,
+            "seed": a.seed,
+            "noise": a.noise,
+            "cart_size": a.cart_size,
+            "max_keyframes": cfg.max_keyframes,
+            "loop_method": cfg.loop_method,
+            "backend_every": a.backend_every,
+            "platform": jax.devices()[0].platform,
+            "frames": res.frames,
+            "fps": round(res.fps, 2),
+            "n_keyframes": res.n_keyframes,
+            "ate_odometry_m": round(res.ate_odometry, 3),
+            "n_online_loops": res.n_online_loops,
+            "n_loop_closures": res.n_loop_closures,
+            "ate_keyframes_before_m": (round(res.ate_keyframes_before, 3)
+                                       if res.ate_keyframes_before is not None
+                                       else None),
+            "ate_keyframes_after_m": (round(res.ate_keyframes_after, 3)
+                                      if res.ate_keyframes_after is not None
+                                      else None),
+            "reference_ate_m": 41.81,
+        }
+        with open(a.out, "w") as f:
+            json.dump(art, f, indent=2)
     return res
 
 

@@ -237,7 +237,9 @@ def incremental_backend(state, cfg: SlamConfig, method: str | None = None):
     M = int(np.asarray(state.map.cursor))
     if M < 3:
         return state, 0, None
-    m = trim_map_state(jax.device_get(state.map))
+    # coarse padding: repeated mid-run calls reuse compiled verify/solve
+    # programs across ~1k-keyframe growth instead of recompiling every pass
+    m = trim_map_state(jax.device_get(state.map), pad_multiple=1024)
     graph, matches = close_loops(m, cfg, method=method)
     n_loops = int(np.asarray(matches.ok).sum())
     if n_loops == 0:

@@ -42,6 +42,20 @@ def batched_init(polars0, maps, cfg: SlamConfig):
     )(polars0)
 
 
+def make_batched_init(cfg: SlamConfig, mesh: Mesh):
+    """shard_map variant of `batched_init` for globally-sharded inputs
+    (multi-process meshes: plain vmap over a global array trips ambiguous
+    gather sharding inside the feature detector)."""
+    vinit = jax.vmap(
+        lambda p, m: frontend.init_state(p, jnp.zeros(3), m, cfg),
+        in_axes=(0, None),
+    )
+    return jax.jit(shard_map(
+        vinit, mesh=mesh, in_specs=(P(KF_AXIS), P()), out_specs=P(KF_AXIS),
+        check_vma=False,
+    ))
+
+
 def make_batched_step(cfg: SlamConfig, mesh: Mesh):
     """jitted (states, polars [D,A,W], maps) -> (states, outputs), batch sharded."""
 
