@@ -126,6 +126,12 @@ def evaluate_sequence(
     for t in range(1, T):
         state, out = step(state, jnp.asarray(render(t)), maps)
         device_poses.append(out.pose)
+        if t % 256 == 0:
+            # bound the async dispatch queue: the axon remote client buffers
+            # every pending execution's inputs — an unbounded 8k-deep queue
+            # grows to ~50 GB host RSS and livelocks.  A device sync is NOT
+            # a D2H transfer, so it doesn't poison dispatch.
+            jax.block_until_ready(out.pose)
         if backend_every and t % backend_every == 0:
             from radarslampy_tpu.models.loopclosure import incremental_backend
 
