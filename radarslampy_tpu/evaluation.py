@@ -65,6 +65,7 @@ def evaluate_sequence(
     world: str = "corridor",
     landmarks_per_scan: float = 80.0,
     backend_every: int = 0,
+    chunk_frames: int = 0,
 ):
     """Render scans along poses_gt, run SLAM, report ATE (+backend ATE).
 
@@ -72,6 +73,12 @@ def evaluate_sequence(
     fed back into the running state (0 = off); the final post-hoc backend
     still runs when `run_backend` so before/after keyframe ATE is reported
     on the (possibly mid-run-corrected) map.
+
+    `chunk_frames`: >0 runs `slam_step_chunk` — F frames per device dispatch
+    (scans quantised to u8 exactly like the real PNG ingestion).  Needed for
+    very long runs on the axon remote TPU, whose client leaks per-dispatch
+    bookkeeping (~5 MB/dispatch) and livelocks around ~8.5k dispatches; 64
+    frames/chunk turns an 8.9k-frame run into ~140 dispatches.
     """
     import jax
     import jax.numpy as jnp
@@ -123,25 +130,59 @@ def evaluate_sequence(
     device_poses = []
     n_online_loops = 0
     t0 = time.perf_counter()
-    for t in range(1, T):
-        state, out = step(state, jnp.asarray(render(t)), maps)
-        device_poses.append(out.pose)
-        if t % 256 == 0:
-            # bound the async dispatch queue: the axon remote client buffers
-            # every pending execution's inputs — an unbounded 8k-deep queue
-            # grows to ~50 GB host RSS and livelocks.  A device sync is NOT
-            # a D2H transfer, so it doesn't poison dispatch.
-            jax.block_until_ready(out.pose)
-        if backend_every and t % backend_every == 0:
-            from radarslampy_tpu.models.loopclosure import incremental_backend
+    if chunk_frames > 0:
+        chunk = jax.jit(
+            lambda s, ps, m: frontend.slam_step_chunk(s, ps, m, cfg),
+            donate_argnums=(0,),
+        )
+        def to_u8(x):
+            # u8 quantisation = the real PNG ingestion path (u8/255 decode)
+            return np.clip(np.rint(x * 255.0), 0, 255).astype(np.uint8)
 
-            state, nl, _ = incremental_backend(state, cfg)
-            n_online_loops += nl
-            if progress_every and nl:
-                print(f"  frame {t}: online backend closed {nl} loops",
-                      flush=True)
-        if progress_every and t % progress_every == 0:
-            print(f"  frame {t}/{T}", flush=True)
+        t = 1
+        while t < T:
+            F = min(chunk_frames, T - t)
+            if F == chunk_frames:
+                block = np.stack([to_u8(render(t + k)) for k in range(F)])
+                state, outs = chunk(state, jnp.asarray(block), maps)
+                jax.block_until_ready(outs.pose)
+                device_poses.extend(outs.pose[:F])
+            else:
+                # tail shorter than a chunk: per-frame steps (one extra
+                # compile, no padded fake frames polluting the map)
+                for k in range(F):
+                    state, out = step(state, jnp.asarray(to_u8(render(t + k))),
+                                      maps)
+                    device_poses.append(out.pose)
+                jax.block_until_ready(device_poses[-1])
+            t += F
+            if backend_every and (t - 1) % backend_every < F:
+                from radarslampy_tpu.models.loopclosure import incremental_backend
+
+                state, nl, _ = incremental_backend(state, cfg)
+                n_online_loops += nl
+            if progress_every and (t // progress_every) != ((t - F) // progress_every):
+                print(f"  frame {t}/{T}", flush=True)
+    else:
+        for t in range(1, T):
+            state, out = step(state, jnp.asarray(render(t)), maps)
+            device_poses.append(out.pose)
+            if t % 256 == 0:
+                # bound the async dispatch queue: the axon remote client
+                # buffers every pending execution's inputs — an unbounded
+                # queue grows to ~50 GB host RSS.  A device sync is NOT a
+                # D2H transfer, so it doesn't poison dispatch.
+                jax.block_until_ready(out.pose)
+            if backend_every and t % backend_every == 0:
+                from radarslampy_tpu.models.loopclosure import incremental_backend
+
+                state, nl, _ = incremental_backend(state, cfg)
+                n_online_loops += nl
+                if progress_every and nl:
+                    print(f"  frame {t}: online backend closed {nl} loops",
+                          flush=True)
+            if progress_every and t % progress_every == 0:
+                print(f"  frame {t}/{T}", flush=True)
     import jax as _jax
 
     _jax.block_until_ready(state.pose)
@@ -235,6 +276,9 @@ def main(argv=None):
                    help="synthetic world model; 'box' is the pre-corridor "
                         "uniform world (ATE numbers are NOT comparable "
                         "across worlds)")
+    p.add_argument("--chunk-frames", type=int, default=0,
+                   help="frames per device dispatch (slam_step_chunk); "
+                        "use 64 for very long runs on the axon remote TPU")
     p.add_argument("--out", default=None, help="write a JSON result artifact")
     a = p.parse_args(argv)
 
@@ -257,7 +301,8 @@ def main(argv=None):
     res = evaluate_sequence(poses, cfg, seed=a.seed, run_backend=a.backend,
                             noise=a.noise, progress_every=a.progress_every,
                             landmarks_per_scan=a.per_scan, world=a.world,
-                            backend_every=a.backend_every)
+                            backend_every=a.backend_every,
+                            chunk_frames=a.chunk_frames)
     print(f"odometry ATE {res.ate_odometry:.2f} m over {res.frames} frames "
           f"({res.fps:.1f} fps), {res.n_keyframes} keyframes, "
           f"{res.n_online_loops} online loops")
@@ -281,6 +326,7 @@ def main(argv=None):
             "max_keyframes": cfg.max_keyframes,
             "loop_method": cfg.loop_method,
             "backend_every": a.backend_every,
+            "chunk_frames": a.chunk_frames,
             "platform": jax.devices()[0].platform,
             "frames": res.frames,
             "fps": round(res.fps, 2),

@@ -267,6 +267,25 @@ def init_state(polar0, init_pose, maps: FrameMaps, cfg: SlamConfig) -> SlamState
     )
 
 
+def slam_step_chunk(state: SlamState, polars, maps: FrameMaps, cfg: SlamConfig):
+    """F radar frames through the pipeline in ONE compiled program.
+
+    `polars`: [F, A, Wpad] (u8 or float).  lax.scan over `slam_step` — the
+    per-frame work is identical, but a chunk pays ONE dispatch instead of F.
+    On the axon remote-TPU client dispatch costs ~100 µs/call while the fused
+    step's device time is ~10-15 µs, so chunking is worth ~10x wall-clock
+    (see PROFILE_r02.json).  Returns (state, StepOutput stacked [F, ...]).
+    Offline/throughput use — per-frame latency consumers (live viz, online
+    backend) should keep the per-frame path.
+    """
+
+    def body(s, polar):
+        s2, out = slam_step(s, polar, maps, cfg)
+        return s2, out
+
+    return jax.lax.scan(body, state, polars)
+
+
 def slam_step(state: SlamState, polar, maps: FrameMaps, cfg: SlamConfig):
     """One radar frame through the full pipeline.  Pure; jit with static cfg,
     maps passed as a runtime argument."""

@@ -86,3 +86,18 @@ def test_online_backend_reduces_ate(small_cfg):
     if posthoc.ate_keyframes_after is not None and (
             online.ate_keyframes_after is not None):
         assert online.ate_keyframes_after <= posthoc.ate_keyframes_after * 1.5
+
+
+def test_chunked_eval_matches_per_frame(small_cfg):
+    """chunk_frames>0 (u8-quantised macro-stepping) tracks the same GT motion
+    to a comparable ATE as the per-frame float path."""
+    poses = evaluation.gt_subsequence(GT_CSV, 400, 45)
+    per_frame = evaluation.evaluate_sequence(poses, small_cfg, seed=3)
+    chunked = evaluation.evaluate_sequence(poses, small_cfg, seed=3,
+                                           chunk_frames=16)
+    assert chunked.frames == per_frame.frames
+    # same world, same motion; u8 quantisation perturbs at the percent level
+    assert chunked.ate_odometry < max(2.0 * per_frame.ate_odometry, 1.0), (
+        chunked.ate_odometry, per_frame.ate_odometry)
+    # keyframe counts agree to a couple (quantisation can shift a threshold)
+    assert abs(chunked.n_keyframes - per_frame.n_keyframes) <= 2

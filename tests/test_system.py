@@ -156,3 +156,52 @@ def test_native_u8_decode_matches_python():
     natf = decode_radar_png_native(path, cfg)
     np.testing.assert_array_equal(
         natf.power, nat.power.astype(np.float32) * np.float32(1.0 / 255.0))
+
+
+def test_chunked_step_matches_per_frame(rng):
+    """slam_step_chunk (lax.scan macro-step, one dispatch per F frames) must
+    match per-frame stepping.  Not bit-identical — XLA fuses the scan body
+    differently than the standalone jit, so float32 rounding drifts at the
+    1e-4 relative level — but poses and state must agree far below any
+    physically meaningful scale (mm here)."""
+    import jax
+    import jax.numpy as jnp
+
+    from radarslampy_tpu.models import frontend
+    from radarslampy_tpu.models.frontend import build_frame_maps
+    from radarslampy_tpu.sim import fakedata as fd
+
+    cfg = SlamConfig(cart_size=512, cart_downsample=8, n_candidates=256,
+                     anms_top_k=100, k_max=128, mds_iterations=6)
+    maps = build_frame_maps(cfg)
+    T = 7
+    poses = np.zeros((T, 3))
+    for t in range(1, T):
+        poses[t] = poses[t - 1] + [1.5, 0.3, 0.03]
+    world_pts, refl = fd.make_world(rng, 600, 60.0)
+    frames = [fd.render_polar_scan(world_pts, refl, p, cfg, rng=rng, noise=0.01)
+              for p in poses]
+
+    init = jax.jit(lambda p, m: frontend.init_state(p, jnp.zeros(3), m, cfg))
+    step = jax.jit(lambda s, p, m: frontend.slam_step(s, p, m, cfg))
+    chunk = jax.jit(lambda s, ps, m: frontend.slam_step_chunk(s, ps, m, cfg))
+
+    s_a = init(jnp.asarray(frames[0]), maps)
+    outs_a = []
+    for f in frames[1:]:
+        s_a, o = step(s_a, jnp.asarray(f), maps)
+        outs_a.append(np.asarray(o.pose))
+
+    s_b = init(jnp.asarray(frames[0]), maps)
+    s_b, outs_b = chunk(s_b, jnp.stack([jnp.asarray(f) for f in frames[1:]]), maps)
+
+    np.testing.assert_allclose(np.stack(outs_a), np.asarray(outs_b.pose),
+                               atol=5e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(s_a), jax.tree_util.tree_leaves(s_b)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind in "iub":
+            np.testing.assert_array_equal(a, b)
+        else:
+            # rtol covers pixel-scale coords (hundreds of px); atol the
+            # near-zero entries
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=5e-2)
