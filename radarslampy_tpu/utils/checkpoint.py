@@ -23,6 +23,11 @@ try:  # orbax is in the image; guard anyway
 except Exception:  # pragma: no cover
     _HAVE_ORBAX = False
 
+# Bump whenever the SlamState pytree layout changes (leaf count/order), so
+# resume from an older checkpoint fails with a clear message instead of a
+# raw KeyError (ADVICE.md r02 #2).  v1 = round-2 layout incl. pc_local/pc_mask.
+FORMAT_VERSION = 1
+
 
 def save_state(path: str, state: Any, trajectory=None,
                meta: Optional[dict] = None) -> None:
@@ -38,7 +43,8 @@ def save_state(path: str, state: Any, trajectory=None,
         **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
     )
     with open(os.path.join(path, "treedef.json"), "w") as f:
-        json.dump({"n_leaves": len(leaves), "meta": meta or {}}, f)
+        json.dump({"format_version": FORMAT_VERSION, "n_leaves": len(leaves),
+                   "meta": meta or {}}, f)
     if trajectory is not None:
         ts, poses = trajectory.as_arrays()
         np.savez(os.path.join(path, "trajectory.npz"), timestamps=ts, poses=poses)
@@ -48,9 +54,23 @@ def load_state(path: str, like: Any) -> Tuple[Any, Optional[tuple]]:
     """Restore a pytree saved by `save_state`, using `like` for the treedef.
 
     `like` only supplies tree structure — `jax.eval_shape` output works.
+    Raises a clear error (not a raw KeyError) when the checkpoint was written
+    by an older/incompatible state layout (ADVICE.md r02 #2).
     """
     data = np.load(os.path.join(path, "state.npz"))
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
+    with open(os.path.join(path, "treedef.json")) as f:
+        td = json.load(f)
+    n_saved = td.get("n_leaves", -1)
+    version = td.get("format_version", 0)
+    if version != FORMAT_VERSION or n_saved != len(leaves_like):
+        raise ValueError(
+            f"incompatible checkpoint at {path}: format_version={version} "
+            f"(expected {FORMAT_VERSION}), {n_saved} saved leaves vs "
+            f"{len(leaves_like)} in the current SlamState layout — it was "
+            f"written by an older build; re-run from scratch or load with "
+            f"that build"
+        )
     leaves = [data[f"leaf_{i}"] for i in range(len(leaves_like))]
     state = jax.tree_util.tree_unflatten(treedef, leaves)
     traj = None
