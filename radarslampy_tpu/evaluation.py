@@ -208,7 +208,14 @@ def evaluate_sequence(
         wr = jnp.asarray(world_refl, jnp.float32)
         key = jax.random.PRNGKey(seed)
         chunk = make_eval_chunk(cfg, noise=noise)
+        # one tiny D2H before the loop: the axon remote client's FIRST
+        # device fetch after a long async run can wedge indefinitely
+        # (observed on the 8.8k-frame run); an early fetch switches the
+        # client into its (slower but reliable) synchronous-fetch mode.
+        np.asarray(state.pose)
 
+        chunk_poses = []   # [F,3] DEVICE arrays; fetched in bulk after the run
+        chunk_valid = []
         F = chunk_frames
         t = 1
         while t < T:
@@ -223,8 +230,11 @@ def evaluate_sequence(
             state, outs = chunk(state, jnp.asarray(pv), jnp.asarray(vv),
                                 jnp.asarray(fid), jnp.asarray(valid), key,
                                 wp, wr, maps)
+            # device sync only — NO per-chunk D2H (mid-run fetches both
+            # degrade remote dispatch ~25x and have been observed to hang)
             jax.block_until_ready(outs.pose)
-            device_poses.extend(np.asarray(outs.pose)[:n])
+            chunk_poses.append(outs.pose)
+            chunk_valid.append(n)
             t += n
             if backend_every and (t - 1) % backend_every < n:
                 state, nl, _, backend_state = incremental_backend(
@@ -233,6 +243,9 @@ def evaluate_sequence(
                 n_online_loops += nl
             if progress_every and (t // progress_every) != ((t - n) // progress_every):
                 print(f"  frame {t}/{T}", flush=True)
+        # bulk fetch of all per-chunk pose blocks (one sync point)
+        for block, n in zip(jax.device_get(chunk_poses), chunk_valid):
+            device_poses.extend(np.asarray(block)[:n])
     elif chunk_frames > 0:
         chunk = jax.jit(
             lambda s, ps, m: frontend.slam_step_chunk(s, ps, m, cfg),

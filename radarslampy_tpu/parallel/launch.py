@@ -77,9 +77,79 @@ def _shard0(x, mesh, axis_name: str):
     return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
 
 
-def bench_posegraph_mp(jax, mesh, M: int = 2048, iters: int = 5):
-    """Distributed matrix-free PCG pose-graph solve over the global mesh
-    (the bench_scaling.py problem, inputs lifted to global arrays)."""
+def bench_verify_mp(jax, mesh, n_cands: int = 768, reps: int = 3):
+    """Loop-verify fan-out: n_cands independent multi-start ICP verifications
+    sharded over the global mesh (parallel/dist_verify.py) — the
+    compute-bound surface where a multi-chip backend actually earns its
+    scaling.  Returns (wall seconds, verifications done)."""
+    import jax.numpy as jnp
+
+    from radarslampy_tpu.config import SlamConfig
+    from radarslampy_tpu.models.frontend import MapState
+    from radarslampy_tpu.parallel.dist_verify import verify_candidates_sharded
+
+    cfg = SlamConfig()
+    rng = np.random.default_rng(0)
+    M_cap, K, M = 256, 64, 240
+
+    # synthetic looped map: keyframes around a circle, shared world landmarks
+    th = np.linspace(0, 4 * np.pi, M)
+    poses = np.stack([60 * np.cos(th), 60 * np.sin(th), th], 1).astype(np.float32)
+    world = rng.uniform(-90, 90, (3000, 2)).astype(np.float32)
+    d2 = ((world[None, :, :] - poses[:, None, :2]) ** 2).sum(-1)   # [M, W]
+    near = np.argsort(d2, axis=1)[:, : K // 2]                     # [M, K/2]
+    pts = world[near] - poses[:, None, :2]
+    c, s = np.cos(poses[:, 2]), np.sin(poses[:, 2])
+    feat_local = np.zeros((M_cap, K, 2), np.float32)
+    feat_local[:M, : K // 2, 0] = c[:, None] * pts[..., 0] + s[:, None] * pts[..., 1]
+    feat_local[:M, : K // 2, 1] = -s[:, None] * pts[..., 0] + c[:, None] * pts[..., 1]
+    feat_mask = np.zeros((M_cap, K), bool)
+    feat_mask[:M, : K // 2] = True
+
+    ms = MapState(
+        poses=np.pad(poses, ((0, M_cap - M), (0, 0))),
+        feat_world=np.zeros((M_cap, K, 2), np.float32),
+        feat_local=feat_local,
+        feat_ids=np.full((M_cap, K), -1, np.int32),
+        feat_mask=feat_mask,
+        velocities=np.zeros((M_cap, 3), np.float32),
+        cursor=np.int32(M),
+        descriptors=np.zeros((M_cap, 16, 80), np.float32),
+        pc_local=np.zeros((M_cap, 8, 2), np.float32),
+        pc_mask=np.zeros((M_cap, 8), bool),
+    )
+
+    D = jax.device_count()
+    C = ((n_cands + D - 1) // D) * D
+    ci = rng.integers(0, M - 60, C).astype(np.int32)
+    cj = (ci + rng.integers(20, 60, C)).astype(np.int32)
+    rot = np.full(C, np.nan, np.float32)
+    valid = np.ones(C, bool)
+
+    m_g = jax.tree_util.tree_map(lambda x: _replicate(x, mesh), ms)
+    from radarslampy_tpu.parallel.mesh import KF_AXIS as AX
+
+    ci_g = _shard0(ci, mesh, AX)
+    cj_g = _shard0(cj, mesh, AX)
+    cv_g = _shard0(valid, mesh, AX)
+    cr_g = _shard0(rot, mesh, AX)
+
+    out = verify_candidates_sharded(m_g, ci_g, cj_g, cv_g, cr_g, cfg, mesh)
+    jax.block_until_ready(out)  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = verify_candidates_sharded(m_g, ci_g, cj_g, cv_g, cr_g, cfg, mesh)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0, C * reps
+
+
+def bench_posegraph_mp(jax, mesh, M: int = 2048, iters: int = 5,
+                       method: str = "gather"):
+    """Distributed pose-graph solve over the global mesh (the
+    bench_scaling.py problem, inputs lifted to global arrays).  Default
+    method 'gather' = one all-gather per solve then replicated local PCG
+    (communication-avoiding); 'pcg' = per-sweep [M,3] psums (the r02 mode
+    whose latency-bound curve inverted, kept for comparison)."""
     import jax.numpy as jnp
 
     from radarslampy_tpu.config import SlamConfig
@@ -112,10 +182,10 @@ def bench_posegraph_mp(jax, mesh, M: int = 2048, iters: int = 5):
         edges_info=rep(np.ones((E, 3), np.float32)),
         edge_mask=rep(np.ones(E, bool)),
     )
-    poses, cost = optimize_pose_graph_sharded(g, cfg, mesh, method="pcg")
+    poses, cost = optimize_pose_graph_sharded(g, cfg, mesh, method=method)
     jax.block_until_ready(poses)  # compile
     t0 = time.perf_counter()
-    poses, cost = optimize_pose_graph_sharded(g, cfg, mesh, method="pcg")
+    poses, cost = optimize_pose_graph_sharded(g, cfg, mesh, method=method)
     jax.block_until_ready(poses)
     return time.perf_counter() - t0, float(cost)
 
@@ -167,6 +237,14 @@ def bench_odometry_mp(jax, mesh, frames_per_seg: int = 6):
 
 
 def worker(a) -> dict | None:
+    if getattr(a, "pin", False):
+        # one physical core per process: a virtual CPU "device" becomes a
+        # comparable hardware unit, so the N-process curve measures scaling
+        # of the CODE rather than oversubscription of the XLA threadpool
+        # (without pinning, the 1-process baseline already uses every core
+        # and no speedup is possible on a shared host)
+        ncores = os.cpu_count() or 1
+        os.sched_setaffinity(0, {a.proc_id % ncores})
     jax = initialize(a.coordinator, a.nproc, a.proc_id, a.local_devices)
     from radarslampy_tpu.parallel.mesh import KF_AXIS
 
@@ -196,9 +274,15 @@ def worker(a) -> dict | None:
                 with open(a.out, "w") as f:
                     json.dump(res, f)
         return res if a.proc_id == 0 else None
-    dt, cost = bench_posegraph_mp(jax, mesh)
-    res["posegraph_pcg_s"] = round(dt, 4)
+    dt, n_ver = bench_verify_mp(jax, mesh)
+    res["verify_s"] = round(dt, 4)
+    res["verify_n"] = n_ver
+    res["verify_per_s"] = round(n_ver / dt, 2)
+    dt, cost = bench_posegraph_mp(jax, mesh, method="gather")
+    res["posegraph_gather_s"] = round(dt, 4)
     res["posegraph_cost"] = round(cost, 4)
+    dt, cost = bench_posegraph_mp(jax, mesh, method="pcg")
+    res["posegraph_pcg_s"] = round(dt, 4)
     dt, frames = bench_odometry_mp(jax, mesh)
     res["odometry_s"] = round(dt, 4)
     res["odometry_frames"] = frames
@@ -222,6 +306,8 @@ def spawn(a) -> int:
                "--proc-id", str(i), "--local-devices", str(a.local_devices)]
         if getattr(a, "smoke", False):
             cmd += ["--smoke"]
+        if getattr(a, "pin", False):
+            cmd += ["--pin"]
         if a.out and i == 0:
             cmd += ["--out", a.out]
         procs.append(subprocess.Popen(
@@ -252,7 +338,8 @@ def curve(a) -> int:
         with tempfile.NamedTemporaryFile(suffix=".json") as tf:
             args = argparse.Namespace(
                 spawn=n, coordinator=f"localhost:{port}",
-                local_devices=a.local_devices, out=tf.name, smoke=False)
+                local_devices=a.local_devices, out=tf.name, smoke=False,
+                pin=getattr(a, "pin", False))
             port += 1
             rc = spawn(args)
             if rc != 0:
@@ -260,21 +347,34 @@ def curve(a) -> int:
                 return rc
             with open(tf.name) as f:
                 runs[n] = json.load(f)
+    import os as _os
+
     n0 = counts[0]
+    v0 = runs[n0]["verify_per_s"]
     merged = {
         "benchmark": "multi-process scaling (jax.distributed.initialize + "
                      "Gloo CPU collectives; identical code path rides ICI "
                      "on a pod)",
         "local_devices_per_process": a.local_devices,
+        "physical_cores": _os.cpu_count(),
         "runs": runs,
-        "posegraph_wall_s": {n: runs[n]["posegraph_pcg_s"] for n in counts},
+        "verify_per_s": {n: runs[n]["verify_per_s"] for n in counts},
+        "verify_scaling_efficiency": {
+            n: round(runs[n]["verify_per_s"] / (v0 * n / n0), 3)
+            for n in counts},
+        "posegraph_gather_wall_s": {
+            n: runs[n]["posegraph_gather_s"] for n in counts},
+        "posegraph_pcg_wall_s": {n: runs[n]["posegraph_pcg_s"] for n in counts},
         "odometry_fps": {n: runs[n]["odometry_fps"] for n in counts},
         "odometry_fps_per_device": {
             n: round(runs[n]["odometry_fps"] / runs[n]["global_devices"], 2)
             for n in counts},
-        "note": "single host: processes share physical cores, so this "
-                "validates multi-process mechanics + correctness, not "
-                "hardware speedup (BENCH on a pod for that)",
+        "note": "verify = compute-bound ICP fan-out (the scaling surface); "
+                "posegraph 'gather' = ONE all-gather per solve then "
+                "replicated PCG (communication-avoiding; r02's per-sweep "
+                "psum mode kept as 'pcg' for contrast). Single host: "
+                "processes share this machine's physical cores, which caps "
+                "achievable speedup at the core count.",
     }
     print(json.dumps(merged, indent=2))
     if a.out:
@@ -296,6 +396,9 @@ def main(argv=None):
                          "writes one merged efficiency artifact")
     ap.add_argument("--smoke", action="store_true",
                     help="cross-process psum sanity only (fast; used by tests)")
+    ap.add_argument("--pin", action="store_true",
+                    help="pin each worker to one physical core (honest "
+                         "per-device scaling units on a shared host)")
     ap.add_argument("--out", default=None, help="JSON artifact (proc 0)")
     a = ap.parse_args(argv)
     if a.curve:

@@ -131,3 +131,52 @@ def test_sharded_pcg_matches_single_device(rng, mesh):
     shard, c8 = optimize_pose_graph_sharded(g, CFG, mesh, method="pcg")
     np.testing.assert_allclose(np.asarray(shard), np.asarray(single), atol=1e-3)
     np.testing.assert_allclose(float(c8), float(c1), rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_gather_matches_single_device(rng, mesh):
+    """Communication-avoiding gather mode (one all-gather per solve, then
+    replicated local PCG) == single-device PCG (VERDICT.md r02 weak #5)."""
+    g, gt, init = _ring_graph(rng)
+    single, c1 = optimize_pose_graph(g, CFG, method="pcg")
+    shard, c8 = optimize_pose_graph_sharded(g, CFG, mesh, method="gather")
+    np.testing.assert_allclose(np.asarray(shard), np.asarray(single), atol=1e-3)
+    np.testing.assert_allclose(float(c8), float(c1), rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_verify_matches_serial(rng, mesh):
+    """Candidate-sharded ICP verification fan-out == serial verify_candidate
+    on every candidate (the compute-bound scaling surface)."""
+    from radarslampy_tpu.models.loopclosure import find_candidates, verify_candidate
+    from radarslampy_tpu.parallel.dist_verify import (
+        pad_candidates,
+        verify_candidates_sharded,
+    )
+    from tests.test_loopclosure import _loop_map
+
+    cfg = SlamConfig(pg_iterations=10)
+    ms, gt = _loop_map(rng, drift=0.5)
+    ms = ms._replace(poses=jnp.asarray(np.pad(
+        np.asarray(ms.poses),
+        ((0, ms.feat_local.shape[0] - int(ms.poses.shape[0])), (0, 0)),
+    )))
+    c = find_candidates(ms.poses, ms.cursor, max_candidates=12, radius_m=8.0,
+                        min_index_gap=20)
+    rot = jnp.full(12, jnp.nan, jnp.float32)
+    ci, cj, cv, cr = pad_candidates(c.i, c.j, c.valid, rot, 8)
+
+    sharded = verify_candidates_sharded(ms, ci, cj, cv, cr, cfg, mesh)
+
+    serial = jax.vmap(
+        lambda i, j, v, r: jax.tree_util.tree_map(
+            lambda x: x,
+            verify_candidate(ms, i, j, cfg, rot_override=r),
+        )
+    )(ci, cj, cv, cr)
+    ok_serial = np.asarray(serial.ok) & np.asarray(cv)
+    np.testing.assert_array_equal(np.asarray(sharded.ok), ok_serial)
+    sel = ok_serial
+    np.testing.assert_allclose(
+        np.asarray(sharded.rel_pose)[sel], np.asarray(serial.rel_pose)[sel],
+        atol=1e-5,
+    )
+    assert ok_serial.any()
