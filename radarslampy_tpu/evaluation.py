@@ -34,6 +34,13 @@ class EvalResult:
     n_online_loops: int = 0
     ate_keyframes_before: Optional[float] = None
     ate_keyframes_after: Optional[float] = None
+    ate_keyframes_after_ba: Optional[float] = None
+    n_ba_landmarks: int = 0
+    n_ba_observations: int = 0
+    # per-frame health aggregates (chunked path)
+    mean_inliers: Optional[float] = None
+    frac_fit_ok: Optional[float] = None
+    n_retracks: int = 0
     final_state: object = None       # SlamState when return_state=True
     est_frames: Optional[np.ndarray] = None
     gt_keyframes: Optional[np.ndarray] = None
@@ -113,6 +120,7 @@ def evaluate_sequence(
     seed: int = 0,
     n_landmarks_per_km2: float = 400.0,
     run_backend: bool = False,
+    run_ba: bool = False,
     noise: float = 0.02,
     progress_every: int = 0,
     return_state: bool = False,
@@ -190,6 +198,7 @@ def evaluate_sequence(
     device_poses = []
     n_online_loops = 0
     backend_state = None
+    health = None
     t0 = time.perf_counter()
     if chunk_frames > 0 and device_render:
         from radarslampy_tpu.models.loopclosure import incremental_backend
@@ -215,6 +224,7 @@ def evaluate_sequence(
         np.asarray(state.pose)
 
         chunk_poses = []   # [F,3] DEVICE arrays; fetched in bulk after the run
+        chunk_stats = []   # (n_inliers, fit_ok, did_retrack) device handles
         chunk_valid = []
         F = chunk_frames
         t = 1
@@ -227,13 +237,16 @@ def evaluate_sequence(
             vv[:n] = vels[t : t + n]
             valid[:n] = True
             fid = np.minimum(np.arange(t, t + F), T - 1).astype(np.int32)
+            tc0 = time.perf_counter()
             state, outs = chunk(state, jnp.asarray(pv), jnp.asarray(vv),
                                 jnp.asarray(fid), jnp.asarray(valid), key,
                                 wp, wr, maps)
             # device sync only — NO per-chunk D2H (mid-run fetches both
             # degrade remote dispatch ~25x and have been observed to hang)
             jax.block_until_ready(outs.pose)
+            tc1 = time.perf_counter()
             chunk_poses.append(outs.pose)
+            chunk_stats.append((outs.n_inliers, outs.fit_ok, outs.did_retrack))
             chunk_valid.append(n)
             t += n
             if backend_every and (t - 1) % backend_every < n:
@@ -242,10 +255,19 @@ def evaluate_sequence(
                 )
                 n_online_loops += nl
             if progress_every and (t // progress_every) != ((t - n) // progress_every):
-                print(f"  frame {t}/{T}", flush=True)
+                print(f"  frame {t}/{T}  "
+                      f"({(tc1 - tc0) / n * 1e3:.1f} ms/frame device wall)",
+                      flush=True)
         # bulk fetch of all per-chunk pose blocks (one sync point)
-        for block, n in zip(jax.device_get(chunk_poses), chunk_valid):
+        stats_inl, stats_ok, stats_rt = [], [], []
+        fetched = jax.device_get((chunk_poses, chunk_stats))
+        for block, (inl, ok, rt), n in zip(fetched[0], fetched[1], chunk_valid):
             device_poses.extend(np.asarray(block)[:n])
+            stats_inl.extend(np.asarray(inl)[:n])
+            stats_ok.extend(np.asarray(ok)[:n])
+            stats_rt.extend(np.asarray(rt)[:n])
+        health = (float(np.mean(stats_inl)), float(np.mean(stats_ok)),
+                  int(np.sum(stats_rt)))
     elif chunk_frames > 0:
         chunk = jax.jit(
             lambda s, ps, m: frontend.slam_step_chunk(s, ps, m, cfg),
@@ -319,6 +341,8 @@ def evaluate_sequence(
         n_keyframes=int(state.map.cursor),
         n_online_loops=n_online_loops,
     )
+    if health is not None:
+        res.mean_inliers, res.frac_fit_ok, res.n_retracks = health
     if return_state:
         res.final_state = state
         res.est_frames = est
@@ -344,11 +368,53 @@ def evaluate_sequence(
         gt_kf = _associate(kf_poses_before, poses_gt, est)
         res.gt_keyframes = gt_kf
         res.ate_keyframes_before = compute_rmse(gt_kf, kf_poses_before)
+        opt = kf_poses_before
         if res.n_loop_closures > 0:
             opt_poses, _ = optimize_pose_graph(graph, cfg)
             opt = np.asarray(opt_poses)[:M]
             res.ate_keyframes_after = compute_rmse(gt_kf, opt)
+        if run_ba:
+            # Bundle adjustment over the (pose-graph-corrected) map: the
+            # matrix-free Schur path at full_seq_1 scale (VERDICT.md r02
+            # next #3 "the full-seq artifact gains a BA row"; replaces the
+            # reference's never-executed g2o scaffold, PoseGraphLib.py:46-98)
+            if progress_every:
+                print("  backend: bundle adjustment...", flush=True)
+            res.ate_keyframes_after_ba, res.n_ba_landmarks, \
+                res.n_ba_observations = _run_ba(m, opt, gt_kf, M, cfg)
     return res
+
+
+def _run_ba(m, opt_poses, gt_kf, M, cfg: SlamConfig):
+    """Schur-complement BA over the trimmed map, poses initialised from the
+    pose-graph solution and landmark world coords recomputed from the
+    (pose-independent) sensor-local observations.  Returns
+    (keyframe ATE after BA, n landmarks, n observations)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from radarslampy_tpu.models.ba import build_ba_problem, optimize_ba
+
+    mp = np.asarray(m.poses).copy()
+    mp[:M] = opt_poses
+    local = np.asarray(m.feat_local)
+    fmask = np.asarray(m.feat_mask)
+    c = np.cos(mp[:, 2])[:, None]
+    s = np.sin(mp[:, 2])[:, None]
+    fw = np.stack(
+        [c * local[..., 0] - s * local[..., 1] + mp[:, 0:1],
+         c * local[..., 1] + s * local[..., 0] + mp[:, 1:2]],
+        axis=-1,
+    ) * fmask[..., None]
+    m_ba = m._replace(poses=jnp.asarray(mp.astype(np.float32)),
+                      feat_world=jnp.asarray(fw.astype(np.float32)))
+    prob = build_ba_problem(m_ba)
+    ba_cfg = dc.replace(cfg, pg_iterations=15, pg_cg_iterations=512)
+    poses_ba, _, _ = optimize_ba(prob, ba_cfg)
+    ate = compute_rmse(gt_kf, np.asarray(poses_ba)[:M])
+    return (ate, int(np.asarray(prob.lm_mask).sum()),
+            int(np.asarray(prob.obs_mask).sum()))
 
 
 def _associate(kf_poses, poses_gt, est_frames):
@@ -380,6 +446,9 @@ def main(argv=None):
     p.add_argument("--noise", type=float, default=0.02)
     p.add_argument("--backend", action="store_true",
                    help="run loop closure + pose graph after odometry")
+    p.add_argument("--ba", action="store_true",
+                   help="run Schur-complement bundle adjustment after the "
+                        "pose graph (matrix-free PCG at scale)")
     p.add_argument("--backend-every", type=int, default=0,
                    help="frames between ONLINE backend passes fed back into "
                         "the run (0 = post-hoc only)")
@@ -399,6 +468,9 @@ def main(argv=None):
     p.add_argument("--chunk-frames", type=int, default=0,
                    help="frames per device dispatch (slam_step_chunk); "
                         "use 64 for very long runs on the axon remote TPU")
+    p.add_argument("--host-render", action="store_true",
+                   help="render scans on host even when chunking (A/B "
+                        "against the device renderer)")
     p.add_argument("--out", default=None, help="write a JSON result artifact")
     a = p.parse_args(argv)
 
@@ -418,17 +490,26 @@ def main(argv=None):
     dist = float(np.sum(np.linalg.norm(np.diff(poses[:, :2], axis=0), axis=1)))
     print(f"eval: {len(poses)} frames, {dist:.0f} m path, "
           f"cart {a.cart_size}, loop_method {cfg.loop_method}")
-    res = evaluate_sequence(poses, cfg, seed=a.seed, run_backend=a.backend,
+    res = evaluate_sequence(poses, cfg, seed=a.seed,
+                            run_backend=a.backend or a.ba, run_ba=a.ba,
                             noise=a.noise, progress_every=a.progress_every,
                             landmarks_per_scan=a.per_scan, world=a.world,
                             backend_every=a.backend_every,
-                            chunk_frames=a.chunk_frames)
+                            chunk_frames=a.chunk_frames,
+                            device_render=not a.host_render)
     print(f"odometry ATE {res.ate_odometry:.2f} m over {res.frames} frames "
           f"({res.fps:.1f} fps), {res.n_keyframes} keyframes, "
           f"{res.n_online_loops} online loops")
-    if a.backend:
+    if res.mean_inliers is not None:
+        print(f"health: mean inliers {res.mean_inliers:.1f}, fit_ok "
+              f"{100 * res.frac_fit_ok:.1f}%, {res.n_retracks} retracks")
+    if a.backend or a.ba:
         print(f"loop closures: {res.n_loop_closures}; keyframe ATE "
               f"{res.ate_keyframes_before:.2f} -> {res.ate_keyframes_after} m")
+        if a.ba:
+            print(f"BA ({res.n_ba_landmarks} landmarks, "
+                  f"{res.n_ba_observations} obs): keyframe ATE "
+                  f"{res.ate_keyframes_after_ba} m")
     if a.out:
         import json
 
@@ -460,6 +541,16 @@ def main(argv=None):
             "ate_keyframes_after_m": (round(res.ate_keyframes_after, 3)
                                       if res.ate_keyframes_after is not None
                                       else None),
+            "ate_keyframes_after_ba_m": (round(res.ate_keyframes_after_ba, 3)
+                                         if res.ate_keyframes_after_ba
+                                         is not None else None),
+            "n_ba_landmarks": res.n_ba_landmarks,
+            "n_ba_observations": res.n_ba_observations,
+            "mean_inliers": (round(res.mean_inliers, 1)
+                             if res.mean_inliers is not None else None),
+            "frac_fit_ok": (round(res.frac_fit_ok, 4)
+                            if res.frac_fit_ok is not None else None),
+            "n_retracks": res.n_retracks,
             "reference_ate_m": 41.81,
         }
         with open(a.out, "w") as f:

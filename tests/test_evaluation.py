@@ -101,3 +101,24 @@ def test_chunked_eval_matches_per_frame(small_cfg):
         chunked.ate_odometry, per_frame.ate_odometry)
     # keyframe counts agree to a couple (quantisation can shift a threshold)
     assert abs(chunked.n_keyframes - per_frame.n_keyframes) <= 2
+
+
+def test_eval_ba_stage(small_cfg):
+    """`run_ba` adds a bundle-adjustment row to the backend result: a BA
+    problem built from the map's persistent landmark ids, solved by the
+    Schur path, with a keyframe ATE comparable to the pose-graph result
+    (the reference's never-executed BA intent, PoseGraphLib.py:46-98)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(small_cfg, loop_method="pose")
+    poses = _square_laps(laps=1)
+    res = evaluation.evaluate_sequence(poses, cfg, seed=11, noise=0.05,
+                                       run_backend=True, run_ba=True)
+    assert res.n_ba_landmarks > 10, res.n_ba_landmarks
+    assert res.n_ba_observations > res.n_ba_landmarks
+    assert res.ate_keyframes_after_ba is not None
+    assert np.isfinite(res.ate_keyframes_after_ba)
+    # BA must not blow up the map the pose graph produced
+    base = res.ate_keyframes_after or res.ate_keyframes_before
+    assert res.ate_keyframes_after_ba < max(2.0 * base, 1.0), (
+        res.ate_keyframes_after_ba, base)
