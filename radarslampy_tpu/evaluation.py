@@ -71,6 +71,13 @@ def make_eval_chunk(cfg: SlamConfig, noise: float, k_vis: int = 512):
 
     Noise keys fold in the *absolute* frame index, so the rendered sequence
     is identical for any chunking of the same seed (tested).
+
+    Returns (state, packed [F, 6] float32): columns are [x, y, theta,
+    n_inliers, fit_ok, did_retrack].  ONE output handle per dispatch: the
+    axon remote client wedges after ~1k live handle creations, and a full
+    8.8k-frame run at 64-frame chunks is 138 dispatches — 9 stacked
+    StepOutput leaves each would cross that limit (the round-2 stall's
+    second ingredient besides input-byte retention).
     """
     import jax
     import jax.numpy as jnp
@@ -107,7 +114,15 @@ def make_eval_chunk(cfg: SlamConfig, noise: float, k_vis: int = 512):
                 )
                 return s_, out
 
-            return jax.lax.cond(ok, do, skip, s)
+            s2, out = jax.lax.cond(ok, do, skip, s)
+            f32 = s2.pose.dtype
+            packed = jnp.concatenate([
+                out.pose,
+                jnp.stack([out.n_inliers.astype(f32),
+                           out.fit_ok.astype(f32),
+                           out.did_retrack.astype(f32)]),
+            ])
+            return s2, packed
 
         return jax.lax.scan(body, state, (poses_f, vels_f, frame_ids, valid))
 
@@ -223,8 +238,7 @@ def evaluate_sequence(
         # client into its (slower but reliable) synchronous-fetch mode.
         np.asarray(state.pose)
 
-        chunk_poses = []   # [F,3] DEVICE arrays; fetched in bulk after the run
-        chunk_stats = []   # (n_inliers, fit_ok, did_retrack) device handles
+        chunk_packed = []  # [F,6] DEVICE arrays; fetched in bulk after the run
         chunk_valid = []
         F = chunk_frames
         t = 1
@@ -238,15 +252,14 @@ def evaluate_sequence(
             valid[:n] = True
             fid = np.minimum(np.arange(t, t + F), T - 1).astype(np.int32)
             tc0 = time.perf_counter()
-            state, outs = chunk(state, jnp.asarray(pv), jnp.asarray(vv),
-                                jnp.asarray(fid), jnp.asarray(valid), key,
-                                wp, wr, maps)
+            state, packed = chunk(state, jnp.asarray(pv), jnp.asarray(vv),
+                                  jnp.asarray(fid), jnp.asarray(valid), key,
+                                  wp, wr, maps)
             # device sync only — NO per-chunk D2H (mid-run fetches both
             # degrade remote dispatch ~25x and have been observed to hang)
-            jax.block_until_ready(outs.pose)
+            jax.block_until_ready(packed)
             tc1 = time.perf_counter()
-            chunk_poses.append(outs.pose)
-            chunk_stats.append((outs.n_inliers, outs.fit_ok, outs.did_retrack))
+            chunk_packed.append(packed)
             chunk_valid.append(n)
             t += n
             if backend_every and (t - 1) % backend_every < n:
@@ -258,14 +271,15 @@ def evaluate_sequence(
                 print(f"  frame {t}/{T}  "
                       f"({(tc1 - tc0) / n * 1e3:.1f} ms/frame device wall)",
                       flush=True)
-        # bulk fetch of all per-chunk pose blocks (one sync point)
+        # bulk fetch of all per-chunk packed blocks (one sync point)
         stats_inl, stats_ok, stats_rt = [], [], []
-        fetched = jax.device_get((chunk_poses, chunk_stats))
-        for block, (inl, ok, rt), n in zip(fetched[0], fetched[1], chunk_valid):
-            device_poses.extend(np.asarray(block)[:n])
-            stats_inl.extend(np.asarray(inl)[:n])
-            stats_ok.extend(np.asarray(ok)[:n])
-            stats_rt.extend(np.asarray(rt)[:n])
+        fetched = jax.device_get(chunk_packed)
+        for block, n in zip(fetched, chunk_valid):
+            block = np.asarray(block)[:n]
+            device_poses.extend(block[:, :3])
+            stats_inl.extend(block[:, 3])
+            stats_ok.extend(block[:, 4])
+            stats_rt.extend(block[:, 5])
         health = (float(np.mean(stats_inl)), float(np.mean(stats_ok)),
                   int(np.sum(stats_rt)))
     elif chunk_frames > 0:
