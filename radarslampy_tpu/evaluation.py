@@ -170,6 +170,11 @@ def evaluate_sequence(
     from radarslampy_tpu.models.frontend import build_frame_maps
     from radarslampy_tpu.sim import fakedata as fd
 
+    # run_ba implies the backend (BA consumes the trimmed map + pose-graph
+    # poses); a direct caller passing run_ba without run_backend previously
+    # got a silent no-op (ADVICE.md r03 #1)
+    run_backend = run_backend or run_ba
+
     rng = np.random.default_rng(seed)
     maps = build_frame_maps(cfg)
 
@@ -280,8 +285,9 @@ def evaluate_sequence(
             stats_inl.extend(block[:, 3])
             stats_ok.extend(block[:, 4])
             stats_rt.extend(block[:, 5])
-        health = (float(np.mean(stats_inl)), float(np.mean(stats_ok)),
-                  int(np.sum(stats_rt)))
+        if stats_inl:  # T == 1 -> no steps, no health (ADVICE.md r03 #3)
+            health = (float(np.mean(stats_inl)), float(np.mean(stats_ok)),
+                      int(np.sum(stats_rt)))
     elif chunk_frames > 0:
         chunk = jax.jit(
             lambda s, ps, m: frontend.slam_step_chunk(s, ps, m, cfg),
@@ -375,11 +381,13 @@ def evaluate_sequence(
                   flush=True)
         M = int(np.asarray(m.cursor))
         kf_poses_before = np.asarray(m.poses)[:M]
-        # nearest-GT association by position along the run (keyframes are a
-        # subsequence of frames; associate by nearest frame index via pose time)
-        # — here we simply compare each keyframe pose against the closest GT
-        # pose in sequence order.
-        gt_kf = _associate(kf_poses_before, poses_gt, est)
+        # associate keyframes to GT by the *creating frame index* recorded in
+        # MapState.frame_ids — exact, immune to re-anchored poses and revisit
+        # ambiguity (VERDICT.md r03 weak #6); position-nearest fallback only
+        # for maps predating the field.
+        fids = (np.asarray(m.frame_ids)[:M]
+                if m.frame_ids is not None else None)
+        gt_kf = _associate(kf_poses_before, poses_gt, est, frame_ids=fids)
         res.gt_keyframes = gt_kf
         res.ate_keyframes_before = compute_rmse(gt_kf, kf_poses_before)
         opt = kf_poses_before
@@ -431,9 +439,16 @@ def _run_ba(m, opt_poses, gt_kf, M, cfg: SlamConfig):
             int(np.asarray(prob.obs_mask).sum()))
 
 
-def _associate(kf_poses, poses_gt, est_frames):
-    """Associate keyframes to GT: each keyframe pose equals some frame's
-    estimated pose; find that frame and use its GT pose."""
+def _associate(kf_poses, poses_gt, est_frames, frame_ids=None):
+    """Associate keyframes to their GT poses.
+
+    Preferred: by creating-frame index (`MapState.frame_ids` — exact).
+    Fallback (frame_ids None, e.g. an old checkpoint): nearest estimated
+    frame position, which can pick the wrong branch near self-intersections
+    (VERDICT.md r03 weak #6)."""
+    if frame_ids is not None:
+        fid = np.clip(np.asarray(frame_ids, np.int64), 0, len(poses_gt) - 1)
+        return poses_gt[fid]
     gt = np.zeros_like(kf_poses)
     for i, kp in enumerate(kf_poses):
         j = np.argmin(np.linalg.norm(est_frames[:, :2] - kp[:2], axis=1))
@@ -518,12 +533,16 @@ def main(argv=None):
         print(f"health: mean inliers {res.mean_inliers:.1f}, fit_ok "
               f"{100 * res.frac_fit_ok:.1f}%, {res.n_retracks} retracks")
     if a.backend or a.ba:
+        def _fmt(v):  # None renders as 'n/a (0 loops)' not 'None' (ADVICE r03 #2)
+            return f"{v:.2f} m" if v is not None else "n/a (0 loops)"
+
         print(f"loop closures: {res.n_loop_closures}; keyframe ATE "
-              f"{res.ate_keyframes_before:.2f} -> {res.ate_keyframes_after} m")
+              f"{_fmt(res.ate_keyframes_before)} -> "
+              f"{_fmt(res.ate_keyframes_after)}")
         if a.ba:
             print(f"BA ({res.n_ba_landmarks} landmarks, "
                   f"{res.n_ba_observations} obs): keyframe ATE "
-                  f"{res.ate_keyframes_after_ba} m")
+                  f"{_fmt(res.ate_keyframes_after_ba)}")
     if a.out:
         import json
 

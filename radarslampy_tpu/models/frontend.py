@@ -97,6 +97,12 @@ class MapState(NamedTuple):
                             # (the per-keyframe cloud of Mapping.py:62, stored
                             # undistorted — M2DP's intended input)
     pc_mask: jax.Array      # [M, P]
+    # [M] int32 creating-frame index per keyframe (-1 = empty slot).  Lets the
+    # evaluator associate keyframes to GT by *frame index* instead of by
+    # nearest estimated position, which mismatches near revisits once the
+    # online backend has re-anchored poses (VERDICT.md r03 weak #6).  Defaults
+    # to None so externally-built toy maps stay valid pytrees.
+    frame_ids: jax.Array = None
 
 
 class SlamState(NamedTuple):
@@ -147,6 +153,7 @@ def empty_map(cfg: SlamConfig, dtype=jnp.float32) -> MapState:
         descriptors=jnp.zeros((M, cfg.sc_rings, cfg.sc_sectors), dtype),
         pc_local=jnp.zeros((M, cfg.pc_points_per_kf, 2), dtype),
         pc_mask=jnp.zeros((M, cfg.pc_points_per_kf), dtype=bool),
+        frame_ids=jnp.full((M,), -1, jnp.int32),
     )
 
 
@@ -203,7 +210,7 @@ def _features_to_world(px, mask, pose, velocity, cfg: SlamConfig):
 
 def _write_keyframe(m: MapState, pose, feat_world, feat_local, feat_ids,
                     feat_mask, velocity, descriptor, pc_local,
-                    pc_mask) -> MapState:
+                    pc_mask, frame_idx) -> MapState:
     c = jnp.minimum(m.cursor, m.poses.shape[0] - 1)
     upd = jax.lax.dynamic_update_index_in_dim
     return MapState(
@@ -217,6 +224,7 @@ def _write_keyframe(m: MapState, pose, feat_world, feat_local, feat_ids,
         descriptors=upd(m.descriptors, descriptor, c, 0),
         pc_local=upd(m.pc_local, pc_local, c, 0),
         pc_mask=upd(m.pc_mask, pc_mask, c, 0),
+        frame_ids=m.frame_ids.at[c].set(jnp.int32(frame_idx)),
     )
 
 
@@ -249,7 +257,7 @@ def init_state(polar0, init_pose, maps: FrameMaps, cfg: SlamConfig) -> SlamState
     pc_pts, pc_ok = keyframe_pointcloud(polar0, vel, cfg)
     m = _write_keyframe(
         empty_map(cfg, cart.dtype), pose, feat_world, feat_local, ids, mask, vel,
-        scan_context(polar0, cfg), pc_pts, pc_ok,
+        scan_context(polar0, cfg), pc_pts, pc_ok, jnp.int32(0),
     )
     return SlamState(
         pose=pose,
@@ -384,7 +392,8 @@ def slam_step(state: SlamState, polar, maps: FrameMaps, cfg: SlamConfig):
         fl, fw = _features_to_world(coords2, mask2, pose_, vel_, cfg)
         pc_pts, pc_ok = keyframe_pointcloud(polar, vel_, cfg)
         m2_ = _write_keyframe(m_, pose_, fw, fl, ids2, mask2, vel_,
-                              scan_context(polar, cfg), pc_pts, pc_ok)
+                              scan_context(polar, cfg), pc_pts, pc_ok,
+                              state.frame_idx + 1)
         return coords2, mask2, ids2, next2, fw, pose_, m2_
 
     def plain_branch(op):

@@ -63,6 +63,7 @@ def trim_map_state(m: MapState, pad_multiple: int = 256) -> MapState:
         descriptors=cut(m.descriptors),
         pc_local=cut(m.pc_local),
         pc_mask=cut(m.pc_mask),
+        frame_ids=(cut(m.frame_ids) if m.frame_ids is not None else None),
     )
 
 

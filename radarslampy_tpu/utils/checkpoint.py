@@ -25,8 +25,9 @@ except Exception:  # pragma: no cover
 
 # Bump whenever the SlamState pytree layout changes (leaf count/order), so
 # resume from an older checkpoint fails with a clear message instead of a
-# raw KeyError (ADVICE.md r02 #2).  v1 = round-2 layout incl. pc_local/pc_mask.
-FORMAT_VERSION = 1
+# raw KeyError (ADVICE.md r02 #2).  v1 = round-2 layout incl. pc_local/pc_mask;
+# v2 = round-4 layout incl. MapState.frame_ids.
+FORMAT_VERSION = 2
 
 
 def save_state(path: str, state: Any, trajectory=None,

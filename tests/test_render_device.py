@@ -120,4 +120,12 @@ def test_eval_chunk_padded_tail_noop():
     for a, b in zip(jax.tree_util.tree_leaves(before),
                     jax.tree_util.tree_leaves(after)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    assert int(outs.n_tracked.sum()) == 0
+    # packed [F, 6] rows: [x, y, theta, n_inliers, fit_ok, did_retrack] —
+    # skipped frames report zero inliers / no fit / no retrack and echo the
+    # (unchanged) state pose
+    packed = np.asarray(outs)
+    assert packed.shape == (F, 6)
+    np.testing.assert_array_equal(packed[:, 3:], 0.0)
+    np.testing.assert_array_equal(
+        packed[:, :3], np.broadcast_to(np.asarray(state2.pose), (F, 3))
+    )
