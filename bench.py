@@ -7,67 +7,66 @@ i7-8650U (raw-roam.pdf p.5 §IV; BASELINE.md) — we use 1.0 fps as the divisor.
 The benchmark drives the *device* pipeline (polar->cart warp, DoH+ANMS on
 keyframe frames, KLT, clique rejection, rigid fit, motion-distortion LM,
 keyframe/map update) on synthetic full-resolution scans rendered from a world
-landmark model along a curved trajectory, so keyframe branches are genuinely
-exercised.  Host PNG decode is excluded here (measured separately; overlapped
-by the prefetcher in the real driver).
+landmark model along a curved trajectory (2.5 m/frame > the 2 m keyframe gate,
+so EVERY frame pays the full keyframe branch incl. DoH detection).
 
-Measurement discipline (VERDICT.md r02 weak #1/#2 — the round-2 number was
-inflated ~2x by blocking on `outs.pose` only): every timed path blocks on the
-COMPLETE output tree (state AND outputs) before the clock stops.  Three
-mutually-consistent numbers are reported:
+Measurement discipline (VERDICT.md r03 weak #1: the r03 headline was
+physically impossible because `jax.block_until_ready` on the axon remote
+client can return before device execution completes, even on the full output
+tree):
 
-  * per_dispatch_fps   — one remote dispatch per frame, full tree blocked at
-                         the end (continues the r01 metric series: r01
-                         "value" 10,355 was this number).
-  * per_dispatch_sync_fps — same, but blocking after EVERY call (per-frame
-                         latency a live consumer would see).
-  * chunked_fps        — F frames per dispatch via lax.scan, full tree
-                         blocked; the throughput number, and the headline
-                         `value`.
-  * device_us_per_frame_profiled — device-side busy time per frame from a
-                         `jax.profiler` trace of the chunked program (null
-                         when the profiler can't see the device, e.g. through
-                         the axon tunnel); cross-check: chunked_fps implies
-                         1e6/chunked_fps us/frame of wall per frame.
+  * Every timed path ends with a D2H FETCH of a leaf of the final state
+    (`np.asarray(state.pose)`).  The states chain (donated arg), so the fetch
+    cannot complete until every timed dispatch has actually executed — a
+    fetch, unlike a sync, cannot lie.  The fetch is at the END of each timed
+    path (mid-run D2H degrades later dispatch; end-of-run is safe).
+  * per_call_sync_fps blocks after EVERY call — the per-frame latency a live
+    consumer sees, and the number the remote client has never faked.
+  * An analytic FLOP floor of the fused step bounds every reported number:
+    fps > peak_flops / flops_per_frame is impossible, and any path violating
+    it is reported as null with a note instead of as a result.
+  * MFU = flops_per_frame x fps / chip peak (bf16 peak — conservative: the
+    DoH matmuls run Precision.HIGHEST, whose effective peak is lower).
 """
 
 from __future__ import annotations
 
-import glob
 import json
 import time
 
 import numpy as np
 
+# bf16 dense matmul peak FLOP/s per chip by device_kind substring
+_PEAK_BF16 = (
+    ("v6", 918e12),        # Trillium
+    ("v5p", 459e12),
+    ("v5 lite", 197e12),
+    ("v5e", 197e12),
+    ("v5litepod", 197e12),
+    ("v4", 275e12),
+)
 
-def _profiled_device_us_per_frame(trace_dir: str, n_frames: int):
-    """Total device-plane busy time per frame from a jax.profiler trace.
 
-    Sums the span (first event start -> last event end) of the busiest line
-    of the device plane — robust to the exact program name.  Returns None
-    when no device plane is visible (remote-tunnel TPUs may not expose one).
+def _chip_peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peak in _PEAK_BF16:
+        if key in kind:
+            return peak
+    return None
+
+
+def flops_per_keyframe_frame(cfg) -> float:
+    """Analytic FLOP count of the dominant (MXU) work in one keyframe frame.
+
+    DoH scale space (ops/pallas/doh_pallas.py): per sigma, TWO [S,S]x[S,S]
+    Toeplitz-blur matmuls at 2*S^3 FLOPs each -> n_sigma * 4 * S^3.
+    S=1024, 3 sigmas => ~12.9 GFLOP.  Everything else (routed warp gathers,
+    KLT patch solves, LM normal equations) is orders of magnitude smaller, so
+    this is a *lower bound* — which is the right direction for an
+    impossibility check (true fps <= peak / floor >= peak / true_flops).
     """
-    import jax.profiler as jp
-
-    files = glob.glob(trace_dir + "/**/*.xplane.pb", recursive=True)
-    if not files:
-        return None
-    pd = jp.ProfileData.from_serialized_xspace(open(files[-1], "rb").read())
-    best = None
-    for plane in pd.planes:
-        name = plane.name.lower()
-        if "tpu" not in name and "device" not in name and "gpu" not in name:
-            continue
-        for line in plane.lines:
-            evs = [e for e in line.events if e.duration_ns > 0]
-            if not evs:
-                continue
-            busy = sum(e.duration_ns for e in evs)
-            if best is None or busy > best:
-                best = busy
-    if best is None:
-        return None
-    return best / 1e3 / n_frames
+    S = cfg.cart_size
+    return len(cfg.doh_sigmas) * 4.0 * float(S) ** 3
 
 
 def main():
@@ -83,112 +82,125 @@ def main():
     maps = build_frame_maps(cfg)
     rng = np.random.default_rng(0)
 
-    # synthetic curved trajectory at realistic speed (~10 m/s, 4 Hz)
-    n_warm, n_meas = 4, 40
-    T = n_warm + n_meas
+    # synthetic curved trajectory at realistic speed (~10 m/s, 4 Hz);
+    # 2.5 m/frame keeps every frame past the 2 m keyframe gate
+    n_warm, n_meas = 4, 200          # >=200 measured frames (VERDICT r03 #2)
+    T = n_warm + n_meas + 1
     poses = np.zeros((T, 3))
     v, w = 10.0 * cfg.scan_period_s, 0.03
     for t in range(1, T):
         th = poses[t - 1, 2]
         poses[t] = poses[t - 1] + [v * np.cos(th), v * np.sin(th), w]
 
-    world_pts, world_refl = fd.make_world(rng, n_landmarks=3000, extent_m=250.0)
+    world_pts, world_refl = fd.make_world_corridor(
+        rng, poses, cfg.max_range_clip_m, per_scan=120.0
+    )
     scans = [
         jnp.asarray(
-            fd.render_polar_scan(world_pts, world_refl, p, cfg, rng=rng, noise=0.02)
+            fd.render_polar_scan(world_pts, world_refl, p, cfg, rng=rng,
+                                 noise=0.02)
         )
         for p in poses
     ]
 
     init = jax.jit(lambda p, m: frontend.init_state(p, jnp.zeros(3), m, cfg))
-    state = init(scans[0], maps)
     step = jax.jit(
         lambda s, p, m: frontend.slam_step(s, p, m, cfg), donate_argnums=(0,)
     )
 
-    # --- per-dispatch path: one remote dispatch per frame ---
+    flops_frame = flops_per_keyframe_frame(cfg)
+    dev = jax.devices()[0]
+    peak = _chip_peak_flops(dev)
+    # fps above this is physically impossible on this chip
+    fps_bound = (peak / flops_frame) if peak else None
+
+    def check(fps):
+        """None out numbers above the chip's FLOP-floor bound."""
+        if fps_bound is not None and fps > fps_bound:
+            return None
+        return round(fps, 3)
+
+    # warm-up + one tiny early fetch: switches the axon client into its
+    # reliable synchronous-fetch mode before anything is timed (a FIRST
+    # fetch after a long async run can hang; project memory)
+    state = init(scans[0], maps)
     for i in range(1, n_warm + 1):
         state, out = step(state, scans[i], maps)
-    jax.block_until_ready((state, out))
+    np.asarray(state.pose)
 
+    # --- per-call-sync path: block after EVERY step (live latency) ---------
     t0 = time.perf_counter()
-    for i in range(n_warm + 1, T):
+    for i in range(n_warm + 1, n_warm + 1 + n_meas):
         state, out = step(state, scans[i], maps)
-    jax.block_until_ready((state, out))          # FULL tree, not just pose
-    fps_per_dispatch = n_meas / (time.perf_counter() - t0)
-
-    # --- per-dispatch with per-call sync: live per-frame latency ---
-    state_s = init(scans[0], maps)
-    for i in range(1, n_warm + 1):
-        state_s, out = step(state_s, scans[i], maps)
-        jax.block_until_ready((state_s, out))
-    t0 = time.perf_counter()
-    for i in range(n_warm + 1, T):
-        state_s, out = step(state_s, scans[i], maps)
-        jax.block_until_ready((state_s, out))
+        jax.block_until_ready((state, out))
+    np.asarray(state.pose)                      # fetch-forced completion
     fps_sync = n_meas / (time.perf_counter() - t0)
 
-    # --- chunked path: F frames per dispatch (frontend.slam_step_chunk) ---
-    # identical math (parity tested, tests/test_system.py::
-    # test_chunked_step_matches_per_frame); amortises the ~100 us remote
-    # dispatch cost over the scan — the device-throughput number
+    # --- async per-dispatch path: one dispatch per frame, fetch at end -----
+    state_a = init(scans[0], maps)
+    for i in range(1, n_warm + 1):
+        state_a, out = step(state_a, scans[i], maps)
+    np.asarray(state_a.pose)
+    t0 = time.perf_counter()
+    for i in range(n_warm + 1, n_warm + 1 + n_meas):
+        state_a, out = step(state_a, scans[i], maps)
+    np.asarray(state_a.pose)                    # states chain: forces ALL
+    fps_async = n_meas / (time.perf_counter() - t0)
+
+    # --- chunked path: n_meas frames per dispatch via lax.scan -------------
     chunk = jax.jit(
         lambda s, ps, m: frontend.slam_step_chunk(s, ps, m, cfg),
         donate_argnums=(0,),
     )
-    batch = jnp.stack(scans[1:])  # [T-1, A, W]
+    batch = jnp.stack(scans[n_warm + 1 : n_warm + 1 + n_meas])
     state_c = init(scans[0], maps)
-    state_c, outs = chunk(state_c, batch, maps)        # compile + warm
-    jax.block_until_ready((state_c, outs))
-    reps = 8
+    state_c, outs = chunk(state_c, batch, maps)      # compile + warm
+    np.asarray(state_c.pose)
+    reps = 4
     t0 = time.perf_counter()
     for _ in range(reps):
-        state_c, outs = chunk(state_c, batch, maps)
-    jax.block_until_ready((state_c, outs))             # FULL tree
-    dt_c = time.perf_counter() - t0
-    fps_chunked = reps * (T - 1) / dt_c
+        state_c, outs = chunk(state_c, batch, maps)  # chained via donated state
+    np.asarray(state_c.pose)                    # fetch forces every rep
+    fps_chunked = reps * n_meas / (time.perf_counter() - t0)
 
-    # --- profiled device time of the chunked program (one rep) ---
-    profiled_us = None
-    try:
-        import shutil
-        import tempfile
+    mfu = (flops_frame * fps_chunked / peak) if peak else None
 
-        trace_dir = tempfile.mkdtemp(prefix="bench_trace_")
-        jax.profiler.start_trace(trace_dir)
-        state_c, outs = chunk(state_c, batch, maps)
-        jax.block_until_ready((state_c, outs))
-        jax.profiler.stop_trace()
-        profiled_us = _profiled_device_us_per_frame(trace_dir, T - 1)
-        shutil.rmtree(trace_dir, ignore_errors=True)
-    except Exception:
-        profiled_us = None
-
-    print(
-        json.dumps(
-            {
-                "metric": "frames/s/chip (fused SLAM step, 400x2025 polar -> "
-                          "1024^2 cart @0.173m/px; chunked, full output tree "
-                          "blocked)",
-                "value": round(fps_chunked, 3),
-                "unit": "frames/s",
-                "vs_baseline": round(fps_chunked / 1.0, 3),
-                "per_dispatch_fps": round(fps_per_dispatch, 3),
-                "per_dispatch_sync_fps": round(fps_sync, 3),
-                "chunked_fps": round(fps_chunked, 3),
-                "chunk_frames": T - 1,
-                "device_us_per_frame_profiled": (
-                    round(profiled_us, 3) if profiled_us else None
-                ),
-                "wall_us_per_frame_chunked": round(1e6 / fps_chunked, 3),
-                "blocking": "jax.block_until_ready((state, outs)) on every "
-                            "timed path (r02's outs.pose-only blocking "
-                            "inflated the number ~2x; VERDICT.md weak #1)",
-                "r01_series_note": "per_dispatch_fps continues BENCH_r01's "
-                                   "'value' semantics (10,355 fps in r01)",
-            }
+    headline = check(fps_chunked)
+    result = {
+        "metric": "frames/s/chip (fused SLAM step, 400x2025 polar -> 1024^2 "
+                  "cart @0.173m/px; every frame takes the keyframe branch; "
+                  "chunked, completion forced by D2H fetch of chained state)",
+        "value": headline if headline is not None else check(fps_sync),
+        "unit": "frames/s",
+        "vs_baseline": round((headline or fps_sync) / 1.0, 3),
+        "per_call_sync_fps": check(fps_sync),
+        "per_dispatch_fps": check(fps_async),
+        "chunked_fps": headline,
+        "chunk_frames": n_meas,
+        "measured_frames": n_meas,
+        "device_kind": getattr(dev, "device_kind", str(dev)),
+        "flops_per_frame_model": flops_frame,
+        "flop_model": "DoH Toeplitz blurs only (n_sigma*4*S^3) — lower "
+                      "bound; see bench.flops_per_keyframe_frame",
+        "chip_peak_bf16_flops": peak,
+        "fps_upper_bound_flop_model": (round(fps_bound, 1)
+                                       if fps_bound else None),
+        "mfu_vs_bf16_peak": (round(mfu, 4) if mfu is not None else None),
+        "mfu_note": "DoH matmuls run Precision.HIGHEST (multi-pass), so "
+                    "achievable peak is several x below bf16 peak; MFU here "
+                    "is deliberately conservative",
+        "blocking": "every timed path ends in np.asarray(state.pose) — a D2H "
+                    "fetch of the chained (donated) state that cannot "
+                    "complete before all timed dispatches executed; "
+                    "block_until_ready alone proved unreliable on the axon "
+                    "remote client (VERDICT.md r03 weak #1)",
+    }
+    if headline is None:
+        result["invalid_measurement_note"] = (
+            f"chunked fps {fps_chunked:.0f} exceeds the FLOP-floor bound "
+            f"{fps_bound:.0f} — reported null; per_call_sync used as value"
         )
-    )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

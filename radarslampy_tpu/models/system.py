@@ -139,6 +139,32 @@ def _compiled_fns(cfg: SlamConfig):
     return init_fn, step_fn
 
 
+@functools.lru_cache(maxsize=8)
+def _compiled_row_step(cfg: SlamConfig):
+    """slam_step variant that ALSO packs the per-frame scalars into one [8]
+    row *inside* the compiled program: [x, y, theta, n_tracked, n_inliers,
+    fit_ok, is_keyframe, did_retrack].
+
+    The driver keeps only these rows between consolidations, so a full-length
+    run holds O(frames/256) live device handles instead of ~8 per frame —
+    the axon remote client wedges near ~1k live handles (VERDICT.md r03
+    weak #5; same fix the eval chunk path got in round 3)."""
+    import jax.numpy as jnp
+
+    def step_row(state, polar, maps):
+        s2, out = frontend.slam_step(state, polar, maps, cfg)
+        f32 = out.pose.dtype
+        row = jnp.concatenate([
+            out.pose,
+            jnp.stack([out.n_tracked.astype(f32), out.n_inliers.astype(f32),
+                       out.fit_ok.astype(f32), out.is_keyframe.astype(f32),
+                       out.did_retrack.astype(f32)]),
+        ])
+        return s2, out, row
+
+    return jax.jit(step_row, donate_argnums=(0,))
+
+
 class RadarSlamSystem:
     def __init__(
         self,
@@ -156,6 +182,7 @@ class RadarSlamSystem:
         self.maps = build_frame_maps(cfg)
         self.progress = progress
         self._init_fn, self._step_fn = _compiled_fns(cfg)
+        self._row_step_fn = _compiled_row_step(cfg)
 
         # ground truth (optional — bench sequences may not ship one)
         self.gt_traj: Optional[Trajectory] = None
@@ -226,14 +253,16 @@ class RadarSlamSystem:
         return kf_pg, n_loops, pg_cost, kf_ba, lm_ba, ba_cost
 
     @staticmethod
-    def _write_metrics(path, start, stamps, device_metrics, online_events):
-        """Flush the per-frame JSONL metrics stream (SURVEY.md §5.5)."""
+    def _write_metrics(path, start, stamps, rows, online_events):
+        """Flush the per-frame JSONL metrics stream (SURVEY.md §5.5).
+
+        `rows`: the fetched [n, 8] packed per-frame block (see
+        `_compiled_row_step`)."""
         import json
 
-        rows = jax.device_get(device_metrics)
         with open(path, "w") as f:
             for k, (ts, row) in enumerate(zip(stamps, rows)):
-                nt, ni, ok, kf, rt = row
+                nt, ni, ok, kf, rt = row[3:8]
                 rec = {
                     "frame": start + k + 1,
                     "timestamp": int(ts),
@@ -268,17 +297,18 @@ class RadarSlamSystem:
             backend_every: int = 0,
             viz_dir: Optional[str] = None,
             viz_every: int = 3,
-            metrics_path: Optional[str] = None) -> RunResult:
+            metrics_path: Optional[str] = None,
+            frame_source=None) -> RunResult:
         """Run the SLAM pipeline over frames [start, end].
 
         `metrics_path`: when set, a structured JSONL stream is written with
         one record per frame (frame index, timestamp, n_tracked, n_inliers,
         fit_ok, keyframe/retrack flags, online-backend loop counts) — the
         per-frame observability the reference only had as prints
-        (SURVEY.md §5.5).  Scalars are accumulated as device handles during
-        the loop and fetched ONCE at the end (mid-run D2H degrades remote
-        dispatch); on an exception the records collected so far are still
-        flushed, so a crashed long run leaves its trail.
+        (SURVEY.md §5.5).  Per-frame scalars live on device as packed [8]
+        rows, consolidated into [256, 8] blocks as the run goes (bounded
+        live-handle count) and fetched ONCE at the end (mid-run D2H degrades
+        remote dispatch).
 
         `resume_from`: directory written by a previous run's checkpoint —
         restores the full SlamState + trajectory and continues from the frame
@@ -318,25 +348,33 @@ class RadarSlamSystem:
                 for ts, pose in zip(*traj):
                     est.append(int(ts), np.asarray(pose))
         if end < 0:
-            end = len(paths) - 1
+            end = len(paths) - 1 if frame_source is None else start
         if resume_from is not None and start > end:
             raise ValueError(
                 f"checkpoint already covers frames through {start - 1}; "
                 f"nothing to resume (end={end})"
             )
-        assert 0 <= start <= end < len(paths)
+        if frame_source is None:
+            assert 0 <= start <= end < len(paths)
 
         window = paths[start : end + 1]
-        try:  # native C++ decode pool (io/native/) — GIL-free, ~3x faster
-            from radarslampy_tpu.io.native_loader import NativeLoader, native_available
+        if frame_source is not None:
+            # caller-supplied iterable of frames (objects with .power and
+            # .frame_timestamp) — synthetic long-run testing without PNGs
+            frames = frame_source
+        else:
+            try:  # native C++ decode pool (io/native/) — GIL-free, ~3x faster
+                from radarslampy_tpu.io.native_loader import (
+                    NativeLoader, native_available,
+                )
 
-            frames = (NativeLoader(window, self.cfg, raw_u8=True)
-                      if native_available() else None)
-        except Exception:
-            frames = None
-        if frames is None:
-            # raw u8 power: dequantised on device (frontend._dequantize_polar)
-            frames = _Prefetcher(window, self.cfg, raw_u8=True)
+                frames = (NativeLoader(window, self.cfg, raw_u8=True)
+                          if native_available() else None)
+            except Exception:
+                frames = None
+            if frames is None:
+                # raw u8 power: dequantised on device (_dequantize_polar)
+                frames = _Prefetcher(window, self.cfg, raw_u8=True)
         it = iter(frames)
         if resumed_state is not None:
             state = resumed_state
@@ -359,24 +397,47 @@ class RadarSlamSystem:
         n = 0
         n_online_loops = 0
         backend_state = None
-        stamps, device_poses, device_health = [], [], []
-        device_metrics: List[tuple] = []
+        stamps: List[int] = []
         online_events = {}
         viz_poses: List[np.ndarray] = []
         viz_stamps: List[int] = []
+
+        # per-frame [8] rows are consolidated into one [256, 8] device block
+        # every 256 frames: live handles stay O(frames/256), under the axon
+        # client's ~1k-live-handle wedge across a full 8.8k-frame sequence
+        # (VERDICT.md r03 weak #5).  The consolidating stack is also the
+        # periodic device sync that bounds the async dispatch queue.
+        CONSOL = 256
+        import jax.numpy as jnp
+
+        row_blocks: List = []       # [*, 8] device blocks
+        pending_rows: List = []     # [8] device rows since last consolidation
+
+        def _consolidate(block_until=False):
+            if pending_rows:
+                row_blocks.append(jnp.stack(pending_rows))
+                pending_rows.clear()
+                if block_until:
+                    jax.block_until_ready(row_blocks[-1])
+
+        def _fetch_rows():
+            _consolidate()
+            if not row_blocks:
+                return np.zeros((0, 8), np.float32)
+            return np.concatenate(
+                [np.asarray(b) for b in jax.device_get(row_blocks)]
+            )
+
         for frame in it:
-            state, out = self._step_fn(state, frame.power, self.maps)
+            state, out, row = self._row_step_fn(state, frame.power, self.maps)
             stamps.append(frame.frame_timestamp)
-            device_poses.append(out.pose)
-            device_health.append((out.n_inliers, out.fit_ok))
-            if metrics_path:
-                device_metrics.append((out.n_tracked, out.n_inliers,
-                                       out.fit_ok, out.is_keyframe,
-                                       out.did_retrack))
+            pending_rows.append(row)
+            if len(pending_rows) >= CONSOL:
+                _consolidate(block_until=True)
             n += 1
             last_abs += 1
             if n == 1:
-                jax.block_until_ready(out.pose)
+                jax.block_until_ready(row)
                 t0 = time.perf_counter()
             if self.progress is not None:
                 self.progress(n, out)
@@ -421,20 +482,21 @@ class RadarSlamSystem:
                 partial = Trajectory()
                 for ts, pose in zip(est.as_arrays()[0], est.as_arrays()[1]):
                     partial.append(int(ts), np.asarray(pose))
-                for ts, pose in zip(stamps, jax.device_get(device_poses)):
+                for ts, pose in zip(stamps, _fetch_rows()[:, :3]):
                     partial.append(ts, pose)
                 save_state(checkpoint_dir, jax.device_get(state), partial,
                            meta={"next_frame_index": last_abs + 1})
         jax.block_until_ready(state.pose)
         dt = time.perf_counter() - t0
-        for ts, pose in zip(stamps, jax.device_get(device_poses)):
+        rows = _fetch_rows()           # ONE bulk fetch of all per-frame data
+        for ts, pose in zip(stamps, rows[:, :3]):
             est.append(ts, pose)
         if metrics_path:
-            self._write_metrics(metrics_path, start, stamps, device_metrics,
+            self._write_metrics(metrics_path, start, stamps, rows,
                                 online_events)
-        health = jax.device_get(device_health)
-        inlier_counts = np.array([int(h[0]) for h in health]) if health else np.array([0])
-        n_fit_failures = sum(1 for h in health if not bool(h[1]))
+        inlier_counts = (rows[:, 4].astype(int) if len(rows)
+                         else np.array([0]))
+        n_fit_failures = int(np.sum(rows[:, 5] == 0.0)) if len(rows) else 0
 
         rmse = None
         if self.gt_traj is not None and len(est.timestamps) > 1:

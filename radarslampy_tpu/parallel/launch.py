@@ -77,11 +77,14 @@ def _shard0(x, mesh, axis_name: str):
     return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
 
 
-def bench_verify_mp(jax, mesh, n_cands: int = 768, reps: int = 3):
+def bench_verify_mp(jax, mesh, n_cands: int = 768, reps: int = 10):
     """Loop-verify fan-out: n_cands independent multi-start ICP verifications
     sharded over the global mesh (parallel/dist_verify.py) — the
     compute-bound surface where a multi-chip backend actually earns its
-    scaling.  Returns (wall seconds, verifications done)."""
+    scaling.  Returns (per-rep wall seconds [reps], verifications per rep):
+    >=10 blocked reps so the artifact can report median +/- spread instead of
+    a single noisy total (VERDICT.md r03 weak #4: a 3-rep 136%% 'efficiency'
+    was committed as signal)."""
     import jax.numpy as jnp
 
     from radarslampy_tpu.config import SlamConfig
@@ -135,16 +138,18 @@ def bench_verify_mp(jax, mesh, n_cands: int = 768, reps: int = 3):
     cr_g = _shard0(rot, mesh, AX)
 
     out = verify_candidates_sharded(m_g, ci_g, cj_g, cv_g, cr_g, cfg, mesh)
-    jax.block_until_ready(out)  # compile
-    t0 = time.perf_counter()
+    jax.block_until_ready(out)  # compile + warm-up
+    times = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         out = verify_candidates_sharded(m_g, ci_g, cj_g, cv_g, cr_g, cfg, mesh)
-    jax.block_until_ready(out)
-    return time.perf_counter() - t0, C * reps
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return times, C
 
 
 def bench_posegraph_mp(jax, mesh, M: int = 2048, iters: int = 5,
-                       method: str = "gather"):
+                       method: str = "gather", reps: int = 5):
     """Distributed pose-graph solve over the global mesh (the
     bench_scaling.py problem, inputs lifted to global arrays).  Default
     method 'gather' = one all-gather per solve then replicated local PCG
@@ -183,14 +188,17 @@ def bench_posegraph_mp(jax, mesh, M: int = 2048, iters: int = 5,
         edge_mask=rep(np.ones(E, bool)),
     )
     poses, cost = optimize_pose_graph_sharded(g, cfg, mesh, method=method)
-    jax.block_until_ready(poses)  # compile
-    t0 = time.perf_counter()
-    poses, cost = optimize_pose_graph_sharded(g, cfg, mesh, method=method)
-    jax.block_until_ready(poses)
-    return time.perf_counter() - t0, float(cost)
+    jax.block_until_ready(poses)  # compile + warm-up
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        poses, cost = optimize_pose_graph_sharded(g, cfg, mesh, method=method)
+        jax.block_until_ready(poses)
+        times.append(time.perf_counter() - t0)
+    return times, float(cost)
 
 
-def bench_odometry_mp(jax, mesh, frames_per_seg: int = 6):
+def bench_odometry_mp(jax, mesh, frames_per_seg: int = 6, reps: int = 5):
     """Data-parallel segment odometry over the global mesh: one segment per
     global device, fused slam_step each frame."""
     import jax.numpy as jnp
@@ -229,11 +237,24 @@ def bench_odometry_mp(jax, mesh, frames_per_seg: int = 6):
             s, out = step(s, gscans[t], maps)
         jax.block_until_ready(out.pose)
 
-    run()  # compile
-    t0 = time.perf_counter()
-    run()
-    dt = time.perf_counter() - t0
-    return dt, B * (T - 1)
+    run()  # compile + warm-up
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return times, B * (T - 1)
+
+
+def _stats(times):
+    """median / min / max of a rep-time list (seconds, rounded)."""
+    t = np.asarray(times, np.float64)
+    return {
+        "median_s": round(float(np.median(t)), 4),
+        "min_s": round(float(t.min()), 4),
+        "max_s": round(float(t.max()), 4),
+        "reps": len(times),
+    }
 
 
 def worker(a) -> dict | None:
@@ -274,19 +295,19 @@ def worker(a) -> dict | None:
                 with open(a.out, "w") as f:
                     json.dump(res, f)
         return res if a.proc_id == 0 else None
-    dt, n_ver = bench_verify_mp(jax, mesh)
-    res["verify_s"] = round(dt, 4)
-    res["verify_n"] = n_ver
-    res["verify_per_s"] = round(n_ver / dt, 2)
-    dt, cost = bench_posegraph_mp(jax, mesh, method="gather")
-    res["posegraph_gather_s"] = round(dt, 4)
+    times, n_ver = bench_verify_mp(jax, mesh)
+    res["verify"] = _stats(times)
+    res["verify_n_per_rep"] = n_ver
+    res["verify_per_s_median"] = round(n_ver / np.median(times), 2)
+    times, cost = bench_posegraph_mp(jax, mesh, method="gather")
+    res["posegraph_gather"] = _stats(times)
     res["posegraph_cost"] = round(cost, 4)
-    dt, cost = bench_posegraph_mp(jax, mesh, method="pcg")
-    res["posegraph_pcg_s"] = round(dt, 4)
-    dt, frames = bench_odometry_mp(jax, mesh)
-    res["odometry_s"] = round(dt, 4)
-    res["odometry_frames"] = frames
-    res["odometry_fps"] = round(frames / dt, 2)
+    times, cost = bench_posegraph_mp(jax, mesh, method="pcg")
+    res["posegraph_pcg"] = _stats(times)
+    times, frames = bench_odometry_mp(jax, mesh)
+    res["odometry"] = _stats(times)
+    res["odometry_frames_per_rep"] = frames
+    res["odometry_fps_median"] = round(frames / np.median(times), 2)
     if a.proc_id == 0:
         print(json.dumps(res), flush=True)
         if a.out:
@@ -332,49 +353,72 @@ def curve(a) -> int:
     import tempfile
 
     counts = [int(x) for x in a.curve.split(",")]
+    # (nproc, local_devices) grid: the plain curve at a.local_devices each,
+    # plus one 2-process x 4-local-device row so multi-device-per-process
+    # collectives are exercised on the curve, not only in the dryrun
+    # (VERDICT.md r03 next #9)
+    grid = [(n, a.local_devices) for n in counts]
+    if (2, 4) not in grid:
+        grid.append((2, 4))
     runs = {}
     port = 12400
-    for n in counts:
+    for n, ld in grid:
         with tempfile.NamedTemporaryFile(suffix=".json") as tf:
             args = argparse.Namespace(
                 spawn=n, coordinator=f"localhost:{port}",
-                local_devices=a.local_devices, out=tf.name, smoke=False,
+                local_devices=ld, out=tf.name, smoke=False,
                 pin=getattr(a, "pin", False))
             port += 1
             rc = spawn(args)
             if rc != 0:
-                print(f"nproc={n} failed rc={rc}", file=sys.stderr)
+                print(f"nproc={n} x {ld} failed rc={rc}", file=sys.stderr)
                 return rc
             with open(tf.name) as f:
-                runs[n] = json.load(f)
+                runs[f"{n}x{ld}"] = json.load(f)
     import os as _os
 
-    n0 = counts[0]
-    v0 = runs[n0]["verify_per_s"]
+    key0 = f"{counts[0]}x{a.local_devices}"
+    v0 = runs[key0]["verify_per_s_median"]
+
+    def eff(key, n):
+        e = round(runs[key]["verify_per_s_median"] / (v0 * n / counts[0]), 3)
+        # superlinear efficiency on a shared host is a measurement artifact,
+        # not signal — say so in-band instead of presenting it as a result
+        return {"value": e,
+                "signal": bool(e <= 1.05),
+                **({} if e <= 1.05 else
+                   {"note": "superlinear => baseline underutilised or "
+                            "noise; treat as ~1.0 upper bound"})}
+
     merged = {
         "benchmark": "multi-process scaling (jax.distributed.initialize + "
                      "Gloo CPU collectives; identical code path rides ICI "
                      "on a pod)",
-        "local_devices_per_process": a.local_devices,
         "physical_cores": _os.cpu_count(),
         "runs": runs,
-        "verify_per_s": {n: runs[n]["verify_per_s"] for n in counts},
+        "verify_per_s_median": {
+            k: runs[k]["verify_per_s_median"] for k in runs},
+        "verify_rep_spread": {k: runs[k]["verify"] for k in runs},
         "verify_scaling_efficiency": {
-            n: round(runs[n]["verify_per_s"] / (v0 * n / n0), 3)
+            f"{n}x{a.local_devices}": eff(f"{n}x{a.local_devices}", n)
             for n in counts},
-        "posegraph_gather_wall_s": {
-            n: runs[n]["posegraph_gather_s"] for n in counts},
-        "posegraph_pcg_wall_s": {n: runs[n]["posegraph_pcg_s"] for n in counts},
-        "odometry_fps": {n: runs[n]["odometry_fps"] for n in counts},
+        "posegraph_gather_wall": {
+            k: runs[k]["posegraph_gather"] for k in runs},
+        "posegraph_pcg_wall": {k: runs[k]["posegraph_pcg"] for k in runs},
+        "odometry_fps_median": {
+            k: runs[k]["odometry_fps_median"] for k in runs},
         "odometry_fps_per_device": {
-            n: round(runs[n]["odometry_fps"] / runs[n]["global_devices"], 2)
-            for n in counts},
-        "note": "verify = compute-bound ICP fan-out (the scaling surface); "
-                "posegraph 'gather' = ONE all-gather per solve then "
-                "replicated PCG (communication-avoiding; r02's per-sweep "
-                "psum mode kept as 'pcg' for contrast). Single host: "
-                "processes share this machine's physical cores, which caps "
-                "achievable speedup at the core count.",
+            k: round(runs[k]["odometry_fps_median"] /
+                     runs[k]["global_devices"], 2)
+            for k in runs},
+        "note": "all timings are median of >=5 blocked reps (verify: 10) "
+                "with min/max spread recorded. verify = compute-bound ICP "
+                "fan-out (the scaling surface); posegraph 'gather' = ONE "
+                "all-gather per solve then replicated PCG "
+                "(communication-avoiding; r02's per-sweep psum mode kept as "
+                "'pcg' for contrast). Single host: processes share this "
+                "machine's physical cores, which caps achievable speedup at "
+                "the core count.",
     }
     print(json.dumps(merged, indent=2))
     if a.out:

@@ -206,3 +206,112 @@ def test_m2dp_loop_method_runs(small_cfg):
     graph, matches = close_loops(m, cfg, min_index_gap=3)
     assert graph.poses.shape[0] == cfg.max_keyframes
     assert np.isfinite(np.asarray(matches.rel_pose)).all()
+
+
+# ---------------------------------------------------------------------------
+# Real-radar validation (VERDICT.md r03 missing #3): the appearance stack on
+# the 11 real Oxford frames in data/tiny — descriptors must be stable
+# frame-to-frame, rotation-consistent, and discriminative on *real* scans,
+# not only on synthetic Gaussian blobs.  The reference stored keyframe point
+# clouds precisely for this purpose (Mapping.py:62) and never used them.
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from tests.conftest import TINY_ROOT, tiny_available
+
+
+def _real_polar_frames(n=11):
+    from radarslampy_tpu.io import oxford
+
+    seq = oxford.sequence_paths(TINY_ROOT, "tiny")
+    paths = oxford.radar_image_paths(seq["radar"], seq["timestamps"])[:n]
+    return [oxford.decode_radar_png(p, CFG).power for p in paths]
+
+
+@pytest.mark.skipif(not tiny_available(), reason="tiny dataset unavailable")
+def test_real_scan_context_adjacent_vs_far():
+    """On real scans: adjacent frames (sub-metre apart at 4 Hz) must be much
+    closer in scan-context distance than far-apart pairs, and every
+    adjacent-pair alignment must report ~zero rotation (the platform turns
+    < 0.1 rad across tiny)."""
+    frames = _real_polar_frames()
+    descs = [scan_context(jnp.asarray(f), CFG) for f in frames]
+
+    adj = [float(sc_distance(descs[i], descs[i + 1]))
+           for i in range(len(descs) - 1)]
+    far = [float(sc_distance(descs[i], descs[j]))
+           for i in range(len(descs)) for j in range(len(descs))
+           if j - i >= 6]
+    assert max(adj) < 0.3, adj
+    assert np.mean(far) > 2.0 * np.mean(adj), (np.mean(adj), np.mean(far))
+    # distance grows (weakly) monotonically with frame gap from frame 0
+    d0 = [float(sc_distance(descs[0], descs[k])) for k in range(1, 11)]
+    assert d0[-1] > d0[0], d0
+
+
+@pytest.mark.skipif(not tiny_available(), reason="tiny dataset unavailable")
+def test_real_scan_context_recovers_synthetic_roll():
+    """sc_alignment must recover a synthetically applied row-roll of a REAL
+    scan (rotation equivariance holds on real speckle, not only on
+    synthetic blobs)."""
+    frames = _real_polar_frames(3)
+    A, S = CFG.num_azimuths, CFG.sc_sectors
+    rows_per_sector = A // S
+    for f in frames:
+        d0 = scan_context(jnp.asarray(f), CFG)
+        for q in (5, 33, 71):
+            rolled = np.roll(np.asarray(f), q * rows_per_sector, axis=0)
+            dq = scan_context(jnp.asarray(rolled), CFG)
+            sim, k, rot = sc_alignment(d0, dq)
+            assert float(sim) > 0.98, (q, float(sim))
+            assert int(k) == q, (q, int(k))
+    # and adjacent REAL frames still align at shift ~0 (no spurious rolls)
+    da = scan_context(jnp.asarray(frames[0]), CFG)
+    db = scan_context(jnp.asarray(frames[1]), CFG)
+    _, k, _ = sc_alignment(da, db)
+    S = CFG.sc_sectors
+    assert min(int(k), S - int(k)) <= 1, int(k)
+
+
+@pytest.mark.skipif(not tiny_available(), reason="tiny dataset unavailable")
+def test_real_m2dp_from_real_pointclouds():
+    """M2DP over point clouds extracted from REAL scans: stable under cloud
+    rotation (PCA pre-alignment), discriminative between near and far
+    frames."""
+    import jax
+
+    from radarslampy_tpu.models.frontend import keyframe_pointcloud
+    from radarslampy_tpu.models.placerecog import m2dp_descriptor
+
+    frames = _real_polar_frames()
+    pc = jax.jit(
+        lambda p: keyframe_pointcloud(p, jnp.zeros(3), CFG)
+    )
+    clouds = [pc(jnp.asarray(f)) for f in frames]
+
+    descs = []
+    for pts, mask in clouds:
+        r = m2dp_descriptor(pts, mask)
+        descs.append(np.asarray(r.desc))
+        assert np.isfinite(descs[-1]).all()
+
+    # rotation stability: rotating a real cloud by any angle leaves the
+    # descriptor (PCA-aligned) essentially unchanged
+    pts, mask = clouds[0]
+    base = descs[0]
+    for ang in (0.4, 1.1, 2.7):
+        c, s = np.cos(ang), np.sin(ang)
+        rot_pts = np.asarray(pts) @ np.array([[c, s], [-s, c]], np.float32)
+        r = m2dp_descriptor(jnp.asarray(rot_pts), mask)
+        cos = float(np.dot(base, np.asarray(r.desc)))
+        assert cos > 0.95, (ang, cos)
+
+    # adjacent real frames more similar than far pairs
+    def cos_d(a, b):
+        return 1.0 - float(np.dot(a, b))
+
+    adj = [cos_d(descs[i], descs[i + 1]) for i in range(len(descs) - 1)]
+    far = [cos_d(descs[i], descs[j]) for i in range(len(descs))
+           for j in range(len(descs)) if j - i >= 6]
+    assert np.mean(far) > np.mean(adj), (np.mean(adj), np.mean(far))
