@@ -144,6 +144,7 @@ def evaluate_sequence(
     backend_every: int = 0,
     chunk_frames: int = 0,
     device_render: bool = True,
+    consolidate_every: int = 16,
 ):
     """Render scans along poses_gt, run SLAM, report ATE (+backend ATE).
 
@@ -245,6 +246,13 @@ def evaluate_sequence(
 
         chunk_packed = []  # [F,6] DEVICE arrays; fetched in bulk after the run
         chunk_valid = []
+        # Every CONSOLIDATE chunks, stack the pending [F,6] blocks into one
+        # [k,F,6] device array: live client handles stay O(T/(F*k)) instead of
+        # O(T/F).  The axon remote client wedges after ~32 eval-chunk dispatch
+        # cycles' worth of accumulated handles (project memory / verify
+        # skill), which a full 8.8k-frame run exceeds at chunk sizes <512.
+        CONSOLIDATE = max(1, consolidate_every)
+        groups = []  # [k,F,6] consolidated DEVICE stacks
         F = chunk_frames
         t = 1
         while t < T:
@@ -266,6 +274,9 @@ def evaluate_sequence(
             tc1 = time.perf_counter()
             chunk_packed.append(packed)
             chunk_valid.append(n)
+            if len(chunk_packed) >= CONSOLIDATE:
+                groups.append(jnp.stack(chunk_packed))
+                chunk_packed = []
             t += n
             if backend_every and (t - 1) % backend_every < n:
                 state, nl, _, backend_state = incremental_backend(
@@ -278,8 +289,9 @@ def evaluate_sequence(
                       flush=True)
         # bulk fetch of all per-chunk packed blocks (one sync point)
         stats_inl, stats_ok, stats_rt = [], [], []
-        fetched = jax.device_get(chunk_packed)
-        for block, n in zip(fetched, chunk_valid):
+        flat = [b for g in jax.device_get(groups) for b in np.asarray(g)]
+        flat.extend(jax.device_get(chunk_packed))
+        for block, n in zip(flat, chunk_valid):
             block = np.asarray(block)[:n]
             device_poses.extend(block[:, :3])
             stats_inl.extend(block[:, 3])

@@ -224,7 +224,7 @@ def _write_keyframe(m: MapState, pose, feat_world, feat_local, feat_ids,
         descriptors=upd(m.descriptors, descriptor, c, 0),
         pc_local=upd(m.pc_local, pc_local, c, 0),
         pc_mask=upd(m.pc_mask, pc_mask, c, 0),
-        frame_ids=m.frame_ids.at[c].set(jnp.int32(frame_idx)),
+        frame_ids=upd(m.frame_ids, jnp.int32(frame_idx), c, 0),
     )
 
 

@@ -103,6 +103,25 @@ def test_chunked_eval_matches_per_frame(small_cfg):
     assert abs(chunked.n_keyframes - per_frame.n_keyframes) <= 2
 
 
+def test_chunk_consolidation_preserves_results(small_cfg):
+    """Device-side [k,F,6] consolidation of packed chunk blocks (the handle-
+    churn bound for full-length runs) is a pure re-grouping: per-frame poses
+    and health stats are identical with and without it."""
+    poses = evaluation.gt_subsequence(GT_CSV, 400, 41)
+    plain = evaluation.evaluate_sequence(poses, small_cfg, seed=3,
+                                         chunk_frames=4,
+                                         consolidate_every=10**9)
+    packed = evaluation.evaluate_sequence(poses, small_cfg, seed=3,
+                                          chunk_frames=4,
+                                          consolidate_every=3)
+    assert packed.frames == plain.frames
+    assert packed.n_keyframes == plain.n_keyframes
+    np.testing.assert_allclose(packed.ate_odometry, plain.ate_odometry,
+                               rtol=1e-6)
+    np.testing.assert_allclose(packed.mean_inliers, plain.mean_inliers,
+                               rtol=1e-6)
+
+
 def test_eval_ba_stage(small_cfg):
     """`run_ba` adds a bundle-adjustment row to the backend result: a BA
     problem built from the map's persistent landmark ids, solved by the
