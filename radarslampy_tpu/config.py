@@ -87,9 +87,18 @@ class SlamConfig:
     # identical cost at 100/200); each iteration is a ~2 ms dense solve on TPU.
     pg_iterations: int = 50
     pg_cg_iterations: int = 0           # CG sweeps per LM step (matrix-free solver);
-                                        # 0 = auto (2M: block-Jacobi PCG propagates
-                                        # ~1 node/sweep along the odometry chain)
+                                        # 0 = auto (8M: block-Jacobi PCG propagates
+                                        # ~1 node/sweep along the odometry chain and
+                                        # needs several crossings when robust weights
+                                        # are uneven; 2M measurably truncates — see
+                                        # posegraph.py)
     pg_huber_delta: float = 1.0
+    pg_gnc_anneal: bool = True          # graduated non-convexity: anneal the Huber
+                                        # delta from the largest initial robustified
+                                        # edge error down to pg_huber_delta across
+                                        # the LM iterations, so large post-hoc loop
+                                        # residuals (tens of m of drift) are not
+                                        # frozen at ~delta/e weight from step one
 
     # ---- place recognition (scan-context descriptors; models/placerecog.py) ----
     # The reference stored per-keyframe point clouds intended for M2DP

@@ -444,7 +444,11 @@ def _run_ba(m, opt_poses, gt_kf, M, cfg: SlamConfig):
     m_ba = m._replace(poses=jnp.asarray(mp.astype(np.float32)),
                       feat_world=jnp.asarray(fw.astype(np.float32)))
     prob = build_ba_problem(m_ba)
-    ba_cfg = dc.replace(cfg, pg_iterations=15, pg_cg_iterations=512)
+    # pg_cg_iterations=0 -> auto (8M) sweep cap: an explicit 512 truncated the
+    # Schur solves at full_seq_1 scale (M~4.6k) — the probe's BA moved
+    # keyframe ATE the WRONG way (31.4 -> 33.6 m); the 1e-10 relative-
+    # residual exit keeps converged solves cheap regardless of the cap
+    ba_cfg = dc.replace(cfg, pg_iterations=15, pg_cg_iterations=0)
     poses_ba, _, _ = optimize_ba(prob, ba_cfg)
     ate = compute_rmse(gt_kf, np.asarray(poses_ba)[:M])
     return (ate, int(np.asarray(prob.lm_mask).sum()),

@@ -344,7 +344,10 @@ def _optimize_ba_pcg(p: BAProblem, cfg: SlamConfig, reduce_fn=None):
         r0 = -bs
         z0 = Minv(r0)
         rz0 = jnp.sum(r0 * z0)
-        n_cg = cfg.pg_cg_iterations or 2 * M
+        # 8M auto cap: the Schur system inherits the pose graph's chain
+        # structure, and a 2M block-Jacobi PCG cap measurably truncates LM
+        # steps when weights are uneven (see posegraph.py).
+        n_cg = cfg.pg_cg_iterations or 8 * M
 
         def cg_cond(c):
             it, x, rr, z, pk, rz = c

@@ -124,6 +124,42 @@ def graph_cost(poses, g: PoseGraph, huber_delta: float):
     return jnp.sum(W * r * r)
 
 
+def _edge_robust_err(poses, g: PoseGraph):
+    """Per-edge robustified error magnitude e = sqrt(r^T diag(info) r),
+    zeroed on masked-out edges.  Used to pick the GNC annealing start."""
+    pi = poses[g.edges_ij[:, 0]]
+    pj = poses[g.edges_ij[:, 1]]
+    r = jax.vmap(edge_residual)(pi, pj, g.edges_meas)
+    e = jnp.sqrt(jnp.sum(r * r * g.edges_info, axis=1) + 1e-12)
+    return e * g.edge_mask.astype(poses.dtype)
+
+
+def _huber_schedule(g: PoseGraph, cfg: SlamConfig, reduce_max_fn=None):
+    """Per-LM-iteration Huber deltas, annealed geometrically (GNC).
+
+    With the post-hoc backend, loop-closure residuals at the INITIAL (drifted)
+    poses can be tens of metres: under a fixed delta of 1 the robust weight
+    delta/e ~ 1/300 freezes exactly the edges that carry the correction
+    (observed: 611-node/143-loop graph moved keyframe ATE only 38.9->31.4 m).
+    Graduated non-convexity fixes this: start the delta at the largest initial
+    robustified edge error (so every verified loop edge begins effectively
+    quadratic), anneal down to cfg.pg_huber_delta so the final iterations have
+    the configured outlier robustness.  When initial residuals are already
+    below the configured delta the schedule is constant and behavior is
+    unchanged.  Disable via cfg.pg_gnc_anneal=False.
+    """
+    hd = jnp.asarray(cfg.pg_huber_delta, g.poses.dtype)
+    N = cfg.pg_iterations
+    if not getattr(cfg, "pg_gnc_anneal", True):
+        return jnp.full((N,), hd)
+    e0 = jnp.max(_edge_robust_err(g.poses, g))
+    if reduce_max_fn is not None:
+        e0 = reduce_max_fn(e0)
+    start = jnp.maximum(e0, hd)
+    frac = jnp.arange(N, dtype=g.poses.dtype) / max(N - 1, 1)
+    return jnp.exp((1.0 - frac) * jnp.log(start) + frac * jnp.log(hd))
+
+
 def optimize_pose_graph(g: PoseGraph, cfg: SlamConfig, method: str = "auto"):
     """Fixed-budget LM over the whole graph; returns (poses, final_cost).
 
@@ -153,25 +189,29 @@ def optimize_pose_graph(g: PoseGraph, cfg: SlamConfig, method: str = "auto"):
 def _optimize_pose_graph(g: PoseGraph, cfg: SlamConfig):
     hd = cfg.pg_huber_delta
     dtype = g.poses.dtype
+    deltas = _huber_schedule(g, cfg)
 
-    def lm_step(carry, _):
-        poses, lam, cost = carry
-        H, b = assemble_normal_equations(poses, g, hd)
+    def lm_step(carry, hd_k):
+        poses, lam = carry
+        # the Huber delta changes across iterations (GNC annealing), so the
+        # acceptance test recomputes the CURRENT cost under this iteration's
+        # delta rather than carrying a cost measured under a different one
+        cost = graph_cost(poses, g, hd_k)
+        H, b = assemble_normal_equations(poses, g, hd_k)
         H, b = _gauge_and_mask(H, b, g.node_mask, dtype)
         A = H + lam * jnp.diag(jnp.diag(H) + 1e-9)
         delta = -jax.scipy.linalg.solve(A, b, assume_a="pos")
         cand = poses + delta.reshape(-1, 3)
         cand = cand.at[:, 2].set(geo.wrap_angle(cand[:, 2]))
-        new_cost = graph_cost(cand, g, hd)
+        new_cost = graph_cost(cand, g, hd_k)
         accept = new_cost < cost
         poses = jnp.where(accept, cand, poses)
-        cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 8.0, 1e7))
-        return (poses, lam, cost), None
+        return (poses, lam), None
 
-    init = (g.poses, jnp.asarray(1e-4, dtype), graph_cost(g.poses, g, hd))
-    (poses, _, cost), _ = jax.lax.scan(lm_step, init, None, length=cfg.pg_iterations)
-    return poses, cost
+    init = (g.poses, jnp.asarray(1e-4, dtype))
+    (poses, _), _ = jax.lax.scan(lm_step, init, deltas, length=cfg.pg_iterations)
+    return poses, graph_cost(poses, g, jnp.asarray(hd, dtype))
 
 
 def _gauge_diag(node_mask, M, dtype):
@@ -180,7 +220,8 @@ def _gauge_diag(node_mask, M, dtype):
     return d + jnp.where(node_mask, 0.0, 1e8)
 
 
-def _optimize_pose_graph_pcg(g: PoseGraph, cfg: SlamConfig, reduce_fn=None):
+def _optimize_pose_graph_pcg(g: PoseGraph, cfg: SlamConfig, reduce_fn=None,
+                             reduce_max_fn=None):
     """Matrix-free LM: each step solves (H + lam diag(H)) delta = -b with
     block-Jacobi PCG, never materialising H.  Per CG sweep the cost is one
     gather + two [E,3,3]x[E,3] batched products + one scatter-add — O(E),
@@ -198,11 +239,15 @@ def _optimize_pose_graph_pcg(g: PoseGraph, cfg: SlamConfig, reduce_fn=None):
     M = g.poses.shape[0]
     ei = g.edges_ij[:, 0]
     ej = g.edges_ij[:, 1]
-    fix = _gauge_diag(g.node_mask, M, dtype)  # [M]
+    # GNC Huber annealing (see _huber_schedule); with sharded edges the start
+    # delta needs a global MAX across shards, hence reduce_max_fn (pmax) —
+    # reduce_fn (psum) would double-count.
+    deltas = _huber_schedule(g, cfg, reduce_max_fn=reduce_max_fn)
 
-    def lm_step(carry, _):
-        poses, lam, cost = carry
-        r, Ji, Jj, W = edge_system(poses, g, hd)
+    def lm_step(carry, hd_k):
+        poses, lam = carry
+        cost = reduce_fn(graph_cost(poses, g, hd_k))
+        r, Ji, Jj, W = edge_system(poses, g, hd_k)
         WJi = W[:, :, None] * Ji
         WJj = W[:, :, None] * Jj
         # gradient b = J^T W r  [M,3]
@@ -211,19 +256,28 @@ def _optimize_pose_graph_pcg(g: PoseGraph, cfg: SlamConfig, reduce_fn=None):
             .at[ei].add(jnp.einsum("eab,ea->eb", Ji, W * r))
             .at[ej].add(jnp.einsum("eab,ea->eb", Jj, W * r))
         )
-        # diagonal blocks of the gauged H  [M,3,3]
+        # Gauge by PROJECTION, not by penalty: the dense path's 1e8 anchor
+        # diagonal makes the preconditioned system's condition number ~1e8,
+        # which float32 CG cannot survive — measured: a 400-node/76 m-drift
+        # loop graph solved to 0.32 m ATE by dense Cholesky stalled at 14 m
+        # under penalty-gauged PCG.  Freezing anchor + dead nodes exactly
+        # (delta := 0 on them, identity rows in A) keeps A SPD with the
+        # conditioning of the ACTUAL problem.
+        free = (g.node_mask & (jnp.arange(M) > 0)).astype(dtype)[:, None]
+        b = b * free
+        # diagonal blocks of H  [M,3,3]
         D = reduce_fn(
             jnp.zeros((M, 3, 3), dtype)
             .at[ei].add(jnp.einsum("eab,eac->ebc", Ji, WJi))
             .at[ej].add(jnp.einsum("eab,eac->ebc", Jj, WJj))
         )
-        D = D + fix[:, None, None] * jnp.eye(3, dtype=dtype)
         ddiag = jnp.diagonal(D, axis1=1, axis2=2)  # [M,3]
         damp = lam * (ddiag + 1e-9)
 
-        def Afun(v):  # (H_gauged + lam diag) v, v [M,3]
-            Jv = jnp.einsum("eab,eb->ea", Ji, v[ei]) + jnp.einsum(
-                "eab,eb->ea", Jj, v[ej]
+        def Afun(v):  # projected (H + lam diag) v, v [M,3]
+            vf = v * free
+            Jv = jnp.einsum("eab,eb->ea", Ji, vf[ei]) + jnp.einsum(
+                "eab,eb->ea", Jj, vf[ej]
             )
             u = W * Jv
             Hv = reduce_fn(
@@ -231,10 +285,13 @@ def _optimize_pose_graph_pcg(g: PoseGraph, cfg: SlamConfig, reduce_fn=None):
                 .at[ei].add(jnp.einsum("eab,ea->eb", Ji, u))
                 .at[ej].add(jnp.einsum("eab,ea->eb", Jj, u))
             )
-            return Hv + fix[:, None] * v + damp * v
+            return (Hv + damp * vf) * free + (1.0 - free) * v
 
-        # block-Jacobi preconditioner: inverse of the damped 3x3 diagonal blocks
-        P = D + jax.vmap(jnp.diag)(damp)
+        # block-Jacobi preconditioner: inverse of the damped 3x3 diagonal
+        # blocks on free nodes, identity on frozen ones
+        P = (D + jax.vmap(jnp.diag)(damp)) * free[..., None] + (
+            1.0 - free[..., None]
+        ) * jnp.eye(3, dtype=dtype)
         Pinv = jnp.linalg.inv(P)  # [M,3,3] batched
 
         def Minv(v):
@@ -245,14 +302,18 @@ def _optimize_pose_graph_pcg(g: PoseGraph, cfg: SlamConfig, reduce_fn=None):
         z0 = Minv(r0)
         rz0 = jnp.sum(r0 * z0)
         # sweep cap: block-Jacobi PCG moves information ~1 node per sweep
-        # along the odometry chain, so crossing the graph needs O(M) in the
-        # worst case — but the while_loop below exits as soon as the
-        # preconditioned residual drops 1e-10x, so converged solves (late LM
-        # iterations, rejected-step re-solves) cost a handful of sweeps, not
-        # 2M.  All quantities in the condition are replicated in the sharded
-        # path (they come from psum-reduced products), so the trip count is
-        # uniform across devices.
-        n_cg = cfg.pg_cg_iterations or 2 * M
+        # along the odometry chain, so crossing the graph needs O(M) sweeps —
+        # and when the robust weights are UNEVEN (mid-GNC, loop edges pulling
+        # hard) convergence needs several crossings.  Measured on a
+        # 400-node/76 m-drift loop graph: a 2M cap left LM steps truncated and
+        # the solve stalled at 14 m ATE where dense Cholesky reached 0.32 m; an
+        # 8M cap matched dense exactly.  The while_loop still exits as soon as
+        # the preconditioned residual drops 1e-10x, so converged solves (late
+        # LM iterations, rejected-step re-solves) cost a handful of sweeps.
+        # All quantities in the condition are replicated in the sharded path
+        # (they come from psum-reduced products), so the trip count is uniform
+        # across devices.
+        n_cg = cfg.pg_cg_iterations or 8 * M
 
         def cg_cond(c):
             it, x, rr, z, p, rz = c
@@ -278,19 +339,17 @@ def _optimize_pose_graph_pcg(g: PoseGraph, cfg: SlamConfig, reduce_fn=None):
 
         cand = poses + delta
         cand = cand.at[:, 2].set(geo.wrap_angle(cand[:, 2]))
-        new_cost = reduce_fn(graph_cost(cand, g, hd))
+        new_cost = reduce_fn(graph_cost(cand, g, hd_k))
         accept = new_cost < cost
         poses = jnp.where(accept, cand, poses)
-        cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(
             accept, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 8.0, 1e7)
         )
-        return (poses, lam, cost), None
+        return (poses, lam), None
 
-    init = (g.poses, jnp.asarray(1e-4, dtype),
-            reduce_fn(graph_cost(g.poses, g, hd)))
-    (poses, _, cost), _ = jax.lax.scan(lm_step, init, None, length=cfg.pg_iterations)
-    return poses, cost
+    init = (g.poses, jnp.asarray(1e-4, dtype))
+    (poses, _), _ = jax.lax.scan(lm_step, init, deltas, length=cfg.pg_iterations)
+    return poses, reduce_fn(graph_cost(poses, g, jnp.asarray(hd, dtype)))
 
 
 def odometry_graph_from_map(map_poses, cursor, max_edges=None,

@@ -29,6 +29,7 @@ from radarslampy_tpu.models.posegraph import (
     edge_system,
     graph_cost,
     _gauge_and_mask,
+    _huber_schedule,
 )
 from radarslampy_tpu.ops import geometry as geo
 from radarslampy_tpu.parallel.mesh import KF_AXIS
@@ -150,7 +151,8 @@ def _optimize_pose_graph_sharded_pcg(g: PoseGraph, cfg: SlamConfig, mesh: Mesh):
     )
     def solve(gs: PoseGraph):
         return _optimize_pose_graph_pcg(
-            gs, cfg, reduce_fn=lambda x: jax.lax.psum(x, KF_AXIS)
+            gs, cfg, reduce_fn=lambda x: jax.lax.psum(x, KF_AXIS),
+            reduce_max_fn=lambda x: jax.lax.pmax(x, KF_AXIS),
         )
 
     return jax.jit(solve)(g)
@@ -180,36 +182,44 @@ def _optimize_pose_graph_sharded(g: PoseGraph, cfg: SlamConfig, mesh: Mesh):
         check_vma=False,
     )
     def solve(gs: PoseGraph):
-        def assemble(poses):
+        def assemble(poses, hd_k):
             # local shard contributions, then sum over devices
-            H, b = assemble_normal_equations(poses, gs, hd)
+            H, b = assemble_normal_equations(poses, gs, hd_k)
             H = jax.lax.psum(H, KF_AXIS)
             b = jax.lax.psum(b, KF_AXIS)
             return H, b
 
-        def cost(poses):
-            return jax.lax.psum(graph_cost(poses, gs, hd), KF_AXIS)
+        def cost(poses, hd_k):
+            return jax.lax.psum(graph_cost(poses, gs, hd_k), KF_AXIS)
 
-        def lm_step(carry, _):
-            poses, lam, c = carry
-            H, b = assemble(poses)
+        # GNC annealing schedule; start delta is a global max across edge
+        # shards (pmax — psum would double-count), matching the single-device
+        # solver exactly so the parity tests hold
+        deltas = _huber_schedule(
+            gs, cfg, reduce_max_fn=lambda x: jax.lax.pmax(x, KF_AXIS)
+        )
+
+        def lm_step(carry, hd_k):
+            poses, lam = carry
+            c = cost(poses, hd_k)
+            H, b = assemble(poses, hd_k)
             H, b = _gauge_and_mask(H, b, gs.node_mask, dtype)
             A = H + lam * jnp.diag(jnp.diag(H) + 1e-9)
             delta = -jax.scipy.linalg.solve(A, b, assume_a="pos")
             cand = poses + delta.reshape(-1, 3)
             cand = cand.at[:, 2].set(geo.wrap_angle(cand[:, 2]))
-            nc = cost(cand)
+            nc = cost(cand, hd_k)
             accept = nc < c
             poses = jnp.where(accept, cand, poses)
-            c = jnp.where(accept, nc, c)
             lam = jnp.where(
                 accept, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 8.0, 1e7)
             )
-            return (poses, lam, c), None
+            return (poses, lam), None
 
-        init = (gs.poses, jnp.asarray(1e-4, dtype), cost(gs.poses))
-        (poses, _, c), _ = jax.lax.scan(lm_step, init, None, length=cfg.pg_iterations)
-        return poses, c
+        init = (gs.poses, jnp.asarray(1e-4, dtype))
+        (poses, _), _ = jax.lax.scan(lm_step, init, deltas,
+                                     length=cfg.pg_iterations)
+        return poses, cost(poses, jnp.asarray(hd, dtype))
 
     return jax.jit(solve)(g)
 

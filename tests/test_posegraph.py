@@ -165,3 +165,77 @@ def test_pcg_large_graph_converges(rng):
     err_opt = np.linalg.norm(np.asarray(poses)[:, :2] - gt[:, :2], axis=1).max()
     assert err_opt < err_init * 0.3, (err_init, err_opt)
     np.testing.assert_allclose(np.asarray(poses)[0], gt[0], atol=1e-3)
+
+
+def _drifted_square_loop(rng, n_side=100, heading_bias=0.0015):
+    """Square loop whose integrated odometry drifts tens of metres (a small
+    per-step heading bias — the dominant real-odometry error mode), plus ten
+    accurate loop-closure edges at the loop's closing corner.  This is the
+    shape of the post-hoc backend problem on long sequences: loop residuals
+    at the INITIAL poses are huge (~drift-sized), odometry residuals tiny."""
+    M = 4 * n_side
+    gt = np.zeros((M, 3))
+    p = np.zeros(3)
+    for k in range(M):
+        gt[k] = p
+        th = (k // n_side) * np.pi / 2
+        p = p + [2 * np.cos(th), 2 * np.sin(th), 0.0]
+        p[2] = ((k + 1) // n_side) * np.pi / 2
+    odo = np.array([_relative(gt[k], gt[k + 1]) for k in range(M - 1)])
+    odo[:, 2] += heading_bias + rng.normal(0, 3e-4, M - 1)
+    odo[:, :2] += rng.normal(0, 0.02, (M - 1, 2))
+    init = np.zeros((M, 3))
+    for k in range(1, M):
+        c, s = np.cos(init[k - 1, 2]), np.sin(init[k - 1, 2])
+        d = odo[k - 1]
+        init[k] = (init[k - 1, 0] + c * d[0] - s * d[1],
+                   init[k - 1, 1] + s * d[0] + c * d[1],
+                   init[k - 1, 2] + d[2])
+    li = list(range(0, 10))
+    lj = [M - 10 + i for i in range(10)]
+    lm = [_relative(gt[a], gt[b]) for a, b in zip(li, lj)]
+    ij = np.concatenate([np.stack([np.arange(M - 1), np.arange(1, M)], 1),
+                         np.stack([li, lj], 1)]).astype(np.int32)
+    meas = np.concatenate([odo, np.array(lm)]).astype(np.float32)
+    info = np.concatenate([np.broadcast_to([100.0, 100.0, 400.0], (M - 1, 3)),
+                           np.broadcast_to([50.0, 50.0, 200.0], (10, 3))])
+    g = PoseGraph(
+        poses=jnp.asarray(init, jnp.float32),
+        node_mask=jnp.ones(M, dtype=bool),
+        edges_ij=jnp.asarray(ij),
+        edges_meas=jnp.asarray(meas),
+        edges_info=jnp.asarray(info.astype(np.float32)),
+        edge_mask=jnp.ones(len(ij), dtype=bool),
+    )
+    return g, gt, init
+
+
+def test_pcg_survives_large_drift(rng):
+    """Regression: the auto CG sweep cap must not truncate LM steps.  With
+    the old 2M cap this graph stalled at ~14 m ATE under PCG while dense
+    Cholesky reached 0.32 m; the 8M auto cap restores dense-equivalence."""
+    g, gt, init = _drifted_square_loop(rng)
+    drift = np.linalg.norm(init[:, :2] - gt[:, :2], axis=1).max()
+    assert drift > 30.0  # the problem is genuinely hard
+    cfg = SlamConfig()
+    dense, _ = optimize_pose_graph(g, cfg, method="dense")
+    pcg, _ = optimize_pose_graph(g, cfg, method="pcg")
+    for poses in (dense, pcg):
+        ate = np.sqrt(np.mean(np.sum(
+            (np.asarray(poses)[:, :2] - gt[:, :2]) ** 2, axis=1)))
+        assert ate < 1.0, ate
+
+
+def test_gnc_anneal_schedule_constant_when_converged(rng):
+    """With small initial residuals the GNC schedule degenerates to the
+    configured delta — annealed and fixed solves agree."""
+    import dataclasses as dc
+
+    g, gt, _ = _ring_graph(rng)
+    cfg = SlamConfig()
+    on, _ = optimize_pose_graph(g, cfg, method="dense")
+    off, _ = optimize_pose_graph(
+        g, dc.replace(cfg, pg_gnc_anneal=False), method="dense")
+    # (the ring's initial residuals straddle the delta slightly, so the two
+    # solves take different paths; they must land on the same optimum)
+    np.testing.assert_allclose(np.asarray(on), np.asarray(off), atol=2e-3)
