@@ -44,6 +44,11 @@ class EvalResult:
     final_state: object = None       # SlamState when return_state=True
     est_frames: Optional[np.ndarray] = None
     gt_keyframes: Optional[np.ndarray] = None
+    # loop-edge measurement quality vs GT (frame-indexed): separates
+    # bad-edges from bad-solver when the backend underperforms
+    loop_edge_err_median: Optional[float] = None
+    loop_edge_err_p90: Optional[float] = None
+    n_loop_edges_bad: int = 0        # edges whose translation error > 1 m
 
 
 def gt_subsequence(gt_csv: str, start: int, count: int, stride: int = 1):
@@ -380,14 +385,37 @@ def evaluate_sequence(
         res.est_frames = est
 
     if run_backend:
-        from radarslampy_tpu.models.loopclosure import close_loops, trim_map_state
+        from radarslampy_tpu.models.loopclosure import (
+            close_loops, graph_with_loop_edges, scan_new_loops, trim_map_state,
+        )
         from radarslampy_tpu.models.posegraph import optimize_pose_graph
 
         if progress_every:
             print("  backend: loop closure...", flush=True)
         m = trim_map_state(_jax.device_get(state.map))
-        graph, matches = close_loops(m, cfg)
-        res.n_loop_closures = int(np.asarray(matches.ok).sum())
+        if backend_state is not None:
+            # The online backend already holds edges ICP-verified while drift
+            # was BOUNDED (each was accepted within one backend_every window
+            # of a correction) — strictly better measurements than re-running
+            # verification under full end-of-run drift, where the pose-derived
+            # translation init can be tens of metres off.  Scan only the tail
+            # the last online pass hasn't seen, then build the graph from the
+            # accumulated edge set.
+            tail_ij, tail_rel = scan_new_loops(m, cfg,
+                                               backend_state.prev_cursor)
+            acc_ij = np.concatenate([backend_state.edges_ij, tail_ij])
+            acc_rel = np.concatenate([backend_state.edges_meas, tail_rel])
+            graph = graph_with_loop_edges(m, acc_ij, acc_rel)
+            res.n_loop_closures = len(acc_ij)
+        else:
+            graph, matches = close_loops(m, cfg)
+            res.n_loop_closures = int(np.asarray(matches.ok).sum())
+        # accepted loop edges, uniformly for both paths: every graph builder
+        # appends loop edges after the M odometry-chain slots
+        E0 = m.poses.shape[0]
+        lsel = np.asarray(graph.edge_mask)[E0:]
+        edges_ij = np.asarray(graph.edges_ij)[E0:][lsel]
+        edges_rel = np.asarray(graph.edges_meas)[E0:][lsel]
         if progress_every:
             print(f"  backend: {res.n_loop_closures} loops; pose graph...",
                   flush=True)
@@ -402,6 +430,24 @@ def evaluate_sequence(
         gt_kf = _associate(kf_poses_before, poses_gt, est, frame_ids=fids)
         res.gt_keyframes = gt_kf
         res.ate_keyframes_before = compute_rmse(gt_kf, kf_poses_before)
+        if len(edges_ij) > 0:
+            # measured vs GT relative pose per accepted loop edge
+            gi, gj = gt_kf[edges_ij[:, 0]], gt_kf[edges_ij[:, 1]]
+            d = gj[:, :2] - gi[:, :2]
+            c0, s0 = np.cos(gi[:, 2]), np.sin(gi[:, 2])
+            rel_gt_xy = np.stack(
+                [c0 * d[:, 0] + s0 * d[:, 1], -s0 * d[:, 0] + c0 * d[:, 1]],
+                axis=1,
+            )
+            err = np.linalg.norm(edges_rel[:, :2] - rel_gt_xy, axis=1)
+            res.loop_edge_err_median = float(np.median(err))
+            res.loop_edge_err_p90 = float(np.quantile(err, 0.9))
+            res.n_loop_edges_bad = int((err > 1.0).sum())
+            if progress_every:
+                print(f"  backend: edge error median "
+                      f"{res.loop_edge_err_median:.2f} m, p90 "
+                      f"{res.loop_edge_err_p90:.2f} m, "
+                      f"{res.n_loop_edges_bad} bad (>1 m)", flush=True)
         opt = kf_poses_before
         if res.n_loop_closures > 0:
             opt_poses, _ = optimize_pose_graph(graph, cfg)
@@ -595,6 +641,13 @@ def main(argv=None):
                                          is not None else None),
             "n_ba_landmarks": res.n_ba_landmarks,
             "n_ba_observations": res.n_ba_observations,
+            "loop_edge_err_median_m": (round(res.loop_edge_err_median, 3)
+                                       if res.loop_edge_err_median is not None
+                                       else None),
+            "loop_edge_err_p90_m": (round(res.loop_edge_err_p90, 3)
+                                    if res.loop_edge_err_p90 is not None
+                                    else None),
+            "n_loop_edges_bad": res.n_loop_edges_bad,
             "mean_inliers": (round(res.mean_inliers, 1)
                              if res.mean_inliers is not None else None),
             "frac_fit_ok": (round(res.frac_fit_ok, 4)
