@@ -65,7 +65,8 @@ def gt_subsequence(gt_csv: str, start: int, count: int, stride: int = 1):
     return seg
 
 
-def make_eval_chunk(cfg: SlamConfig, noise: float, k_vis: int = 512):
+def make_eval_chunk(cfg: SlamConfig, noise: float, k_vis: int = 512,
+                    renderer: str = "max"):
     """One jitted program: render F synthetic scans ON DEVICE and run the
     fused SLAM step on each — a chunk dispatch ships only [F,3] GT poses,
     [F,3] velocities, [F] frame ids and a [F] validity mask.
@@ -100,7 +101,8 @@ def make_eval_chunk(cfg: SlamConfig, noise: float, k_vis: int = 512):
             def do(s_):
                 k = jax.random.fold_in(key, fid)
                 scan = render_polar_scan_device(
-                    wp, wr, pose, vel, k, cfg, noise=noise, k_vis=k_vis
+                    wp, wr, pose, vel, k, cfg, noise=noise, k_vis=k_vis,
+                    mode=renderer,
                 )
                 return frontend.slam_step(s_, quantize_u8(scan), maps, cfg)
 
@@ -150,6 +152,7 @@ def evaluate_sequence(
     chunk_frames: int = 0,
     device_render: bool = True,
     consolidate_every: int = 16,
+    renderer: str = "max",
 ):
     """Render scans along poses_gt, run SLAM, report ATE (+backend ATE).
 
@@ -242,7 +245,7 @@ def evaluate_sequence(
         wp = jnp.asarray(world_pts, jnp.float32)
         wr = jnp.asarray(world_refl, jnp.float32)
         key = jax.random.PRNGKey(seed)
-        chunk = make_eval_chunk(cfg, noise=noise)
+        chunk = make_eval_chunk(cfg, noise=noise, renderer=renderer)
         # one tiny D2H before the loop: the axon remote client's FIRST
         # device fetch after a long async run can wedge indefinitely
         # (observed on the 8.8k-frame run); an early fetch switches the
@@ -559,6 +562,12 @@ def main(argv=None):
     p.add_argument("--chunk-frames", type=int, default=0,
                    help="frames per device dispatch (slam_step_chunk); "
                         "use 64 for very long runs on the axon remote TPU")
+    p.add_argument("--renderer", default="max", choices=("max", "sum"),
+                   help="device-render blob composition: 'max' = 9x9 "
+                        "scatter-max patches (original; ~450 ms/frame on "
+                        "the real chip — TPU scatters serialize); 'sum' = "
+                        "additive separable splat as one MXU matmul "
+                        "(sub-ms)")
     p.add_argument("--host-render", action="store_true",
                    help="render scans on host even when chunking (A/B "
                         "against the device renderer)")
@@ -587,7 +596,8 @@ def main(argv=None):
                             landmarks_per_scan=a.per_scan, world=a.world,
                             backend_every=a.backend_every,
                             chunk_frames=a.chunk_frames,
-                            device_render=not a.host_render)
+                            device_render=not a.host_render,
+                            renderer=a.renderer)
     print(f"odometry ATE {res.ate_odometry:.2f} m over {res.frames} frames "
           f"({res.fps:.1f} fps), {res.n_keyframes} keyframes, "
           f"{res.n_online_loops} online loops")
@@ -623,6 +633,7 @@ def main(argv=None):
             "loop_method": cfg.loop_method,
             "backend_every": a.backend_every,
             "chunk_frames": a.chunk_frames,
+            "renderer": a.renderer,
             "platform": jax.devices()[0].platform,
             "frames": res.frames,
             "fps": round(res.fps, 2),

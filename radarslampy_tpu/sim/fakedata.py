@@ -135,7 +135,7 @@ def make_world_corridor(rng, poses, radius_m, per_scan=80.0):
 
 def render_polar_scan(world_pts, world_refl, pose, cfg: SlamConfig,
                       velocity=None, noise=0.02, rng=None,
-                      blob_sigma_px=2.0, az_sigma=0.6):
+                      blob_sigma_px=2.0, az_sigma=0.6, mode="max"):
     """Render a synthetic polar scan [A, Wpad] of the world from `pose`.
 
     Each landmark inside the clip range becomes a Gaussian blob in (azimuth,
@@ -168,17 +168,29 @@ def render_polar_scan(world_pts, world_refl, pose, cfg: SlamConfig,
     az = phi / (2 * np.pi) * A
 
     inside = (r > 8) & (r < bins - 8)
-    half = 4
-    offs = np.arange(-half, half + 1)
-    for ri, ai, refl in zip(r[inside], az[inside], world_refl[inside]):
-        a0 = int(round(ai))
-        r0 = int(round(ri))
-        da = (a0 + offs) % A
-        dr = r0 + offs
-        ga = np.exp(-0.5 * ((a0 + offs - ai) / az_sigma) ** 2)
-        gr = np.exp(-0.5 * ((r0 + offs - ri) / blob_sigma_px) ** 2)
-        patch = refl * ga[:, None] * gr[None, :]
-        np.maximum.at(img, (da[:, None], dr[None, :].repeat(len(offs), 0)), patch)
+    if mode == "sum":
+        # additive separable splat — the host mirror of the device renderer's
+        # matmul mode (render_device.py), kept in sync for A/B parity tests
+        azs, rs, refls = az[inside], r[inside], world_refl[inside]
+        aa = np.arange(A, dtype=np.float64)
+        dang = np.abs(aa[None, :] - azs[:, None])
+        dang = np.minimum(dang, A - dang)
+        Ga = np.exp(-0.5 * (dang / az_sigma) ** 2) * refls[:, None]
+        ww = np.arange(Wp, dtype=np.float64)
+        Gr = np.exp(-0.5 * ((ww[None, :] - rs[:, None]) / blob_sigma_px) ** 2)
+        img = (Ga.T @ Gr).astype(np.float32)
+    else:
+        half = 4
+        offs = np.arange(-half, half + 1)
+        for ri, ai, refl in zip(r[inside], az[inside], world_refl[inside]):
+            a0 = int(round(ai))
+            r0 = int(round(ri))
+            da = (a0 + offs) % A
+            dr = r0 + offs
+            ga = np.exp(-0.5 * ((a0 + offs - ai) / az_sigma) ** 2)
+            gr = np.exp(-0.5 * ((r0 + offs - ri) / blob_sigma_px) ** 2)
+            patch = refl * ga[:, None] * gr[None, :]
+            np.maximum.at(img, (da[:, None], dr[None, :].repeat(len(offs), 0)), patch)
 
     if noise > 0 and rng is not None:
         img[:, :bins] += rng.rayleigh(noise, size=(A, bins)).astype(np.float32)

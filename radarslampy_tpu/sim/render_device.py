@@ -35,17 +35,29 @@ _HALF = 4
 
 
 @partial(jax.jit, static_argnames=("cfg", "noise", "k_vis", "blob_sigma_px",
-                                   "az_sigma"))
+                                   "az_sigma", "mode"))
 def render_polar_scan_device(world_pts, world_refl, pose, velocity, key,
                              cfg: SlamConfig, noise: float = 0.02,
                              k_vis: int = 512, blob_sigma_px: float = 2.0,
-                             az_sigma: float = 0.6):
+                             az_sigma: float = 0.6, mode: str = "max"):
     """Render one synthetic polar scan [A, Wpad] float32 in [0, 1].
 
     `world_pts` [N,2] / `world_refl` [N] are device-resident constants shared
     across the run; `k_vis` bounds the landmarks splatted per scan (selected
     nearest-first among those inside the clip range — with the corridor
     world's ~80 visible landmarks/scan, 512 slots never truncate).
+
+    `mode`:
+      * "max" — 9x9 truncated Gaussian patches composed with scatter-max
+        (the original formulation).  TPU scatters serialize: ~41k scatter
+        elements per scan cost ~450 ms/frame on the real chip — the entire
+        wall-clock of long evals.
+      * "sum" — additive composition of UNtruncated separable Gaussians:
+        the whole image is one [A,K]x[K,Wp] matmul on the MXU (~0.8 GFLOP,
+        sub-ms).  Additive superposition is also the more physical model
+        for radar returns; images differ from "max" only where blobs
+        overlap (rare at ~80 landmarks/scan) and in the <1e-4 Gaussian
+        tails beyond the 9-px patch.
     """
     A = cfg.num_azimuths
     Wp = cfg.polar_width_padded
@@ -83,21 +95,35 @@ def render_polar_scan_device(world_pts, world_refl, pose, velocity, key,
     ok = inside[sel]
     r_s, az_s, refl_s = r[sel], az[sel], world_refl.astype(f32)[sel]
 
-    offs = jnp.arange(-_HALF, _HALF + 1, dtype=f32)           # [9]
-    a0 = jnp.rint(az_s)
-    r0 = jnp.rint(r_s)
-    ga = jnp.exp(-0.5 * ((a0[:, None] + offs - az_s[:, None]) / az_sigma) ** 2)
-    gr = jnp.exp(-0.5 * ((r0[:, None] + offs - r_s[:, None]) / blob_sigma_px) ** 2)
-    patch = refl_s[:, None, None] * ga[:, :, None] * gr[:, None, :]  # [K,9,9]
-    patch = jnp.where(ok[:, None, None], patch, 0.0)
+    if mode == "sum":
+        # separable additive splat as ONE matmul: img[a,w] =
+        # sum_k refl_k * exp(-da_k(a)^2/2s_a^2) * exp(-dw_k(w)^2/2s_r^2).
+        # HIGHEST precision: blob shapes feed sub-pixel feature localisation.
+        aa = jnp.arange(A, dtype=f32)
+        da = jnp.abs(aa[None, :] - az_s[:, None])
+        da = jnp.minimum(da, A - da)                          # azimuth wrap
+        Ga = jnp.exp(-0.5 * (da / az_sigma) ** 2)             # [K, A]
+        Ga = Ga * jnp.where(ok, refl_s, 0.0)[:, None]
+        ww = jnp.arange(Wp, dtype=f32)
+        dw = ww[None, :] - jnp.clip(r_s, -1e6, 1e6)[:, None]
+        Gr = jnp.exp(-0.5 * (dw / blob_sigma_px) ** 2)        # [K, Wp]
+        img = jnp.matmul(Ga.T, Gr, precision=jax.lax.Precision.HIGHEST)
+    else:
+        offs = jnp.arange(-_HALF, _HALF + 1, dtype=f32)           # [9]
+        a0 = jnp.rint(az_s)
+        r0 = jnp.rint(r_s)
+        ga = jnp.exp(-0.5 * ((a0[:, None] + offs - az_s[:, None]) / az_sigma) ** 2)
+        gr = jnp.exp(-0.5 * ((r0[:, None] + offs - r_s[:, None]) / blob_sigma_px) ** 2)
+        patch = refl_s[:, None, None] * ga[:, :, None] * gr[:, None, :]  # [K,9,9]
+        patch = jnp.where(ok[:, None, None], patch, 0.0)
 
-    rows = jnp.mod(a0[:, None] + offs, A).astype(jnp.int32)   # [K,9]
-    cols = (r0[:, None] + offs).astype(jnp.int32)             # [K,9]
-    rows_b = jnp.broadcast_to(rows[:, :, None], patch.shape)
-    cols_b = jnp.broadcast_to(cols[:, None, :], patch.shape)
+        rows = jnp.mod(a0[:, None] + offs, A).astype(jnp.int32)   # [K,9]
+        cols = (r0[:, None] + offs).astype(jnp.int32)             # [K,9]
+        rows_b = jnp.broadcast_to(rows[:, :, None], patch.shape)
+        cols_b = jnp.broadcast_to(cols[:, None, :], patch.shape)
 
-    img = jnp.zeros((A, Wp), f32)
-    img = img.at[rows_b, cols_b].max(patch, mode="drop")
+        img = jnp.zeros((A, Wp), f32)
+        img = img.at[rows_b, cols_b].max(patch, mode="drop")
 
     if noise > 0:
         u = jax.random.uniform(key, (A, bins), f32, minval=0.0,

@@ -129,3 +129,51 @@ def test_eval_chunk_padded_tail_noop():
     np.testing.assert_array_equal(
         packed[:, :3], np.broadcast_to(np.asarray(state2.pose), (F, 3))
     )
+
+
+def test_sum_mode_renderer_parity_and_features():
+    """mode='sum' (one-matmul additive splat — the TPU fast path; scatter-max
+    costs ~450 ms/frame on the real chip): host and device agree, and the
+    image matches mode='max' away from blob overlaps (same blobs, same
+    positions; tails <1e-4)."""
+    cfg = SMALL
+    rng = np.random.default_rng(3)
+    world_pts, world_refl = fd.make_world(rng, 300, 120.0)
+    pose = np.array([5.0, -3.0, 0.4])
+    vel = np.array([8.0, 0.5, 0.05])
+
+    host = fd.render_polar_scan(world_pts, world_refl, pose, cfg,
+                                velocity=vel, noise=0.0, rng=None, mode="sum")
+    dev = np.asarray(render_polar_scan_device(
+        jnp.asarray(world_pts, jnp.float32), jnp.asarray(world_refl, jnp.float32),
+        jnp.asarray(pose, jnp.float32), jnp.asarray(vel, jnp.float32),
+        jax.random.PRNGKey(0), cfg, noise=0.0, k_vis=256, mode="sum",
+    ))
+    diff = np.abs(dev - host)
+    assert diff.max() < 2e-3, float(diff.max())
+    # vs max-mode: identical except where blobs overlap (sum >= max) and the
+    # truncated 9-px tails; bulk of pixels equal
+    mx = fd.render_polar_scan(world_pts, world_refl, pose, cfg,
+                              velocity=vel, noise=0.0, rng=None, mode="max")
+    assert np.quantile(np.abs(host - mx), 0.99) < 2e-2
+    assert (host - mx).min() > -2e-2  # sum only ADDS relative to max
+
+
+def test_eval_sum_renderer_tracks_same_motion():
+    """The sum-mode eval chunk tracks the same GT motion to a comparable ATE
+    as the max-mode one (same world, same noise keys)."""
+    import os
+
+    from radarslampy_tpu import evaluation
+
+    gt = "/root/reference/data/full_seq_1/gt/radar_odometry.csv"
+    if not os.path.exists(gt):
+        pytest.skip("full_seq_1 GT absent")
+    poses = evaluation.gt_subsequence(gt, 2000, 40)
+    a = evaluation.evaluate_sequence(poses, SMALL, seed=3, chunk_frames=16,
+                                     renderer="max")
+    b = evaluation.evaluate_sequence(poses, SMALL, seed=3, chunk_frames=16,
+                                     renderer="sum")
+    assert b.frames == a.frames
+    assert b.ate_odometry < max(2.0 * a.ate_odometry, 1.0), (
+        b.ate_odometry, a.ate_odometry)
