@@ -49,6 +49,8 @@ class EvalResult:
     loop_edge_err_median: Optional[float] = None
     loop_edge_err_p90: Optional[float] = None
     n_loop_edges_bad: int = 0        # edges whose translation error > 1 m
+    backend_error: Optional[str] = None  # backend/BA crash salvaged (results
+                                         # up to the crash point are kept)
 
 
 def gt_subsequence(gt_csv: str, start: int, count: int, stride: int = 1):
@@ -153,6 +155,7 @@ def evaluate_sequence(
     device_render: bool = True,
     consolidate_every: int = 16,
     renderer: str = "max",
+    partial_write=None,
 ):
     """Render scans along poses_gt, run SLAM, report ATE (+backend ATE).
 
@@ -387,6 +390,11 @@ def evaluate_sequence(
         res.final_state = state
         res.est_frames = est
 
+    # flush a partial artifact BEFORE the backend: a device fault during the
+    # post-hoc solve must not destroy an hour of completed odometry (run 1 of
+    # round 4 lost all 8,862 frames to a TPU worker crash inside the final BA)
+    if partial_write is not None:
+        partial_write(res)
     if run_backend:
         from radarslampy_tpu.models.loopclosure import (
             close_loops, graph_with_loop_edges, scan_new_loops, trim_map_state,
@@ -452,19 +460,31 @@ def evaluate_sequence(
                       f"{res.loop_edge_err_p90:.2f} m, "
                       f"{res.n_loop_edges_bad} bad (>1 m)", flush=True)
         opt = kf_poses_before
-        if res.n_loop_closures > 0:
-            opt_poses, _ = optimize_pose_graph(graph, cfg)
-            opt = np.asarray(opt_poses)[:M]
-            res.ate_keyframes_after = compute_rmse(gt_kf, opt)
-        if run_ba:
+        try:
+            if res.n_loop_closures > 0:
+                opt_poses, _ = optimize_pose_graph(graph, cfg)
+                opt = np.asarray(opt_poses)[:M]
+                res.ate_keyframes_after = compute_rmse(gt_kf, opt)
+        except Exception as e:  # salvage: keep odometry + before-ATE
+            res.backend_error = f"pose graph: {type(e).__name__}: {e}"[:300]
+            print(f"  backend: POSE GRAPH FAILED, salvaging partial results "
+                  f"({type(e).__name__})", flush=True)
+        if partial_write is not None:
+            partial_write(res)
+        if run_ba and res.backend_error is None:
             # Bundle adjustment over the (pose-graph-corrected) map: the
             # matrix-free Schur path at full_seq_1 scale (VERDICT.md r02
             # next #3 "the full-seq artifact gains a BA row"; replaces the
             # reference's never-executed g2o scaffold, PoseGraphLib.py:46-98)
             if progress_every:
                 print("  backend: bundle adjustment...", flush=True)
-            res.ate_keyframes_after_ba, res.n_ba_landmarks, \
-                res.n_ba_observations = _run_ba(m, opt, gt_kf, M, cfg)
+            try:
+                res.ate_keyframes_after_ba, res.n_ba_landmarks, \
+                    res.n_ba_observations = _run_ba(m, opt, gt_kf, M, cfg)
+            except Exception as e:  # salvage: keep pose-graph results
+                res.backend_error = f"BA: {type(e).__name__}: {e}"[:300]
+                print(f"  backend: BA FAILED, salvaging pose-graph results "
+                      f"({type(e).__name__})", flush=True)
     return res
 
 
@@ -590,37 +610,10 @@ def main(argv=None):
     dist = float(np.sum(np.linalg.norm(np.diff(poses[:, :2], axis=0), axis=1)))
     print(f"eval: {len(poses)} frames, {dist:.0f} m path, "
           f"cart {a.cart_size}, loop_method {cfg.loop_method}")
-    res = evaluate_sequence(poses, cfg, seed=a.seed,
-                            run_backend=a.backend or a.ba, run_ba=a.ba,
-                            noise=a.noise, progress_every=a.progress_every,
-                            landmarks_per_scan=a.per_scan, world=a.world,
-                            backend_every=a.backend_every,
-                            chunk_frames=a.chunk_frames,
-                            device_render=not a.host_render,
-                            renderer=a.renderer)
-    print(f"odometry ATE {res.ate_odometry:.2f} m over {res.frames} frames "
-          f"({res.fps:.1f} fps), {res.n_keyframes} keyframes, "
-          f"{res.n_online_loops} online loops")
-    if res.mean_inliers is not None:
-        print(f"health: mean inliers {res.mean_inliers:.1f}, fit_ok "
-              f"{100 * res.frac_fit_ok:.1f}%, {res.n_retracks} retracks")
-    if a.backend or a.ba:
-        def _fmt(v):  # None renders as 'n/a (0 loops)' not 'None' (ADVICE r03 #2)
-            return f"{v:.2f} m" if v is not None else "n/a (0 loops)"
-
-        print(f"loop closures: {res.n_loop_closures}; keyframe ATE "
-              f"{_fmt(res.ate_keyframes_before)} -> "
-              f"{_fmt(res.ate_keyframes_after)}")
-        if a.ba:
-            print(f"BA ({res.n_ba_landmarks} landmarks, "
-                  f"{res.n_ba_observations} obs): keyframe ATE "
-                  f"{_fmt(res.ate_keyframes_after_ba)}")
-    if a.out:
-        import json
-
+    def _artifact(res):
         import jax
 
-        art = {
+        return {
             "gt_csv": a.gt_csv,
             "start": a.start,
             "count": a.count,
@@ -664,10 +657,46 @@ def main(argv=None):
             "frac_fit_ok": (round(res.frac_fit_ok, 4)
                             if res.frac_fit_ok is not None else None),
             "n_retracks": res.n_retracks,
+            "backend_error": res.backend_error,
             "reference_ate_m": 41.81,
         }
-        with open(a.out, "w") as f:
-            json.dump(art, f, indent=2)
+
+    def _write(res):
+        # progressive flush: odometry results land on disk BEFORE the
+        # backend/BA stages run (a device fault there must not lose the run)
+        if a.out:
+            import json
+
+            with open(a.out, "w") as f:
+                json.dump(_artifact(res), f, indent=2)
+
+    res = evaluate_sequence(poses, cfg, seed=a.seed,
+                            run_backend=a.backend or a.ba, run_ba=a.ba,
+                            noise=a.noise, progress_every=a.progress_every,
+                            landmarks_per_scan=a.per_scan, world=a.world,
+                            backend_every=a.backend_every,
+                            chunk_frames=a.chunk_frames,
+                            device_render=not a.host_render,
+                            renderer=a.renderer,
+                            partial_write=_write)
+    print(f"odometry ATE {res.ate_odometry:.2f} m over {res.frames} frames "
+          f"({res.fps:.1f} fps), {res.n_keyframes} keyframes, "
+          f"{res.n_online_loops} online loops")
+    if res.mean_inliers is not None:
+        print(f"health: mean inliers {res.mean_inliers:.1f}, fit_ok "
+              f"{100 * res.frac_fit_ok:.1f}%, {res.n_retracks} retracks")
+    if a.backend or a.ba:
+        def _fmt(v):  # None renders as 'n/a (0 loops)' not 'None' (ADVICE r03 #2)
+            return f"{v:.2f} m" if v is not None else "n/a (0 loops)"
+
+        print(f"loop closures: {res.n_loop_closures}; keyframe ATE "
+              f"{_fmt(res.ate_keyframes_before)} -> "
+              f"{_fmt(res.ate_keyframes_after)}")
+        if a.ba:
+            print(f"BA ({res.n_ba_landmarks} landmarks, "
+                  f"{res.n_ba_observations} obs): keyframe ATE "
+                  f"{_fmt(res.ate_keyframes_after_ba)}")
+    _write(res)
     return res
 
 
