@@ -156,6 +156,7 @@ def evaluate_sequence(
     consolidate_every: int = 16,
     renderer: str = "max",
     partial_write=None,
+    sync_every: int = 1,
 ):
     """Render scans along poses_gt, run SLAM, report ATE (+backend ATE).
 
@@ -280,8 +281,17 @@ def evaluate_sequence(
                                   jnp.asarray(fid), jnp.asarray(valid), key,
                                   wp, wr, maps)
             # device sync only — NO per-chunk D2H (mid-run fetches both
-            # degrade remote dispatch ~25x and have been observed to hang)
-            jax.block_until_ready(packed)
+            # degrade remote dispatch ~25x and have been observed to hang).
+            # sync_every>1 (or 0 = never) skips the per-chunk block: on the
+            # axon remote client block_until_ready's poll backoff can charge
+            # a long constant slack per blocked dispatch (458 ms/frame
+            # observed INDEPENDENT of program content — r4 finding), so
+            # letting chunks queue async and blocking rarely recovers the
+            # true device rate.  Health caveat: per-chunk ms/frame prints
+            # measure wall between syncs, not device time, in that mode.
+            n_chunk = len(chunk_valid)
+            if sync_every and (n_chunk % sync_every == 0):
+                jax.block_until_ready(packed)
             tc1 = time.perf_counter()
             chunk_packed.append(packed)
             chunk_valid.append(n)
@@ -582,6 +592,10 @@ def main(argv=None):
     p.add_argument("--chunk-frames", type=int, default=0,
                    help="frames per device dispatch (slam_step_chunk); "
                         "use 64 for very long runs on the axon remote TPU")
+    p.add_argument("--sync-every", type=int, default=1,
+                   help="block_until_ready every N chunks (0 = only at the "
+                        "final bulk fetch); >1 avoids the axon client's "
+                        "per-block poll-backoff slack")
     p.add_argument("--renderer", default="max", choices=("max", "sum"),
                    help="device-render blob composition: 'max' = 9x9 "
                         "scatter-max patches (original; ~450 ms/frame on "
@@ -678,7 +692,8 @@ def main(argv=None):
                             chunk_frames=a.chunk_frames,
                             device_render=not a.host_render,
                             renderer=a.renderer,
-                            partial_write=_write)
+                            partial_write=_write,
+                            sync_every=a.sync_every)
     print(f"odometry ATE {res.ate_odometry:.2f} m over {res.frames} frames "
           f"({res.fps:.1f} fps), {res.n_keyframes} keyframes, "
           f"{res.n_online_loops} online loops")
