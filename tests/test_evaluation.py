@@ -141,3 +141,21 @@ def test_eval_ba_stage(small_cfg):
     base = res.ate_keyframes_after or res.ate_keyframes_before
     assert res.ate_keyframes_after_ba < max(2.0 * base, 1.0), (
         res.ate_keyframes_after_ba, base)
+
+
+def test_partial_write_flushes_before_backend(small_cfg):
+    """The eval must flush results before the backend stages run — a device
+    fault during the post-hoc solve cannot lose the odometry (round-4 run 1
+    lost 8,862 completed frames to a TPU worker crash inside BA)."""
+    poses = evaluation.gt_subsequence(GT_CSV, 2000, 30)
+    stages = []
+    res = evaluation.evaluate_sequence(
+        poses, small_cfg, seed=3, chunk_frames=8, run_backend=True,
+        partial_write=lambda r: stages.append(
+            (r.ate_odometry, r.ate_keyframes_before)),
+    )
+    # flushed at least twice: after odometry (before-backend fields still
+    # None) and after the pose-graph stage
+    assert len(stages) >= 2
+    assert stages[0][1] is None          # pre-backend flush
+    assert stages[0][0] == res.ate_odometry
