@@ -92,6 +92,13 @@ class SlamConfig:
                                         # needs several crossings when robust weights
                                         # are uneven; 2M measurably truncates — see
                                         # posegraph.py)
+    pg_sweeps_per_dispatch: int = 4096  # CG sweeps per DEVICE DISPATCH in the
+                                        # host-driven PCG solvers: the axon TPU
+                                        # faults on over-large single dispatches
+                                        # (per-dispatch size/time cliff — the
+                                        # r04 full-scale BA crash), so LM
+                                        # linearisations and CG sweep slices
+                                        # each get their own bounded jit call
     pg_huber_delta: float = 1.0
     pg_gnc_anneal: bool = True          # graduated non-convexity: anneal the Huber
                                         # delta from the largest initial robustified

@@ -253,7 +253,6 @@ def back_substitute_landmarks(Hinv, bl, U, delta_p, p: BAProblem):
     return -jnp.einsum("lab,lb->la", Hinv, bl + Hlp_dp)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_views_per_landmark", "method"))
 def optimize_ba(p: BAProblem, cfg: SlamConfig, max_views_per_landmark: int = 8,
                 method: str = "auto"):
     """Fixed-budget LM bundle adjustment with Schur-complement reduction.
@@ -268,7 +267,12 @@ def optimize_ba(p: BAProblem, cfg: SlamConfig, max_views_per_landmark: int = 8,
         O(O + M) memory per sweep, EXACT for all view counts (no V bound).
         This is how BA runs at full_seq_1 scale (M ~ 4.5-8k keyframes, 50k+
         landmarks), where the dense reduced system alone would be ~0.7 TB
-        (VERDICT.md r02 weak #3).
+        (VERDICT.md r02 weak #3).  HOST-DRIVEN at bounded dispatch size: one
+        jit call per LM linearisation / per <= cfg.pg_sweeps_per_dispatch CG
+        sweeps.  Round 4's full-sequence run crashed the TPU worker inside
+        the old single-dispatch variant (all LM iterations x up-to-8M sweeps
+        as one device program) — the per-dispatch fault cliff this bound is
+        for (VERDICT.md r04 next #5).
       * "auto"  — dense when M <= 512 else pcg.
 
     float32 matmul precision: see optimize_pose_graph (models/posegraph.py) —
@@ -276,10 +280,140 @@ def optimize_ba(p: BAProblem, cfg: SlamConfig, max_views_per_landmark: int = 8,
     """
     if method == "auto":
         method = "dense" if p.poses.shape[0] <= 512 else "pcg"
+    if method == "pcg":
+        return _optimize_ba_pcg_hostloop(p, cfg)
+    return _optimize_ba_dense_jit(p, cfg, max_views_per_landmark)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_views_per_landmark"))
+def _optimize_ba_dense_jit(p, cfg, max_views_per_landmark):
     with jax.default_matmul_precision("float32"):
-        if method == "pcg":
-            return _optimize_ba_pcg(p, cfg)
         return _optimize_ba(p, cfg, max_views_per_landmark)
+
+
+@jax.jit
+def _ba_lm_prepare(poses, landmarks, lam, hd, p: BAProblem):
+    """One BA LM iteration's Schur ingredients + initial CG state on the
+    reduced pose system (see `_optimize_ba_pcg` for the math)."""
+    with jax.default_matmul_precision("float32"):
+        dtype = poses.dtype
+        M = poses.shape[0]
+        eye3 = jnp.eye(3, dtype=dtype)
+        fix = jnp.zeros(M, dtype).at[0].set(1e8)
+        Hpp, bs, Hinv, bl, U = schur_blocks(poses, landmarks, p, hd, lam)
+        UHU = jnp.zeros((M, 3, 3), dtype).at[p.obs_pose].add(
+            jnp.einsum("oab,obc,odc->oad", U, Hinv[p.obs_lm], U)
+        )
+        S_diag = Hpp - UHU
+        sdiag = jnp.diagonal(S_diag, axis1=1, axis2=2)
+        damp = lam * (sdiag + 1e-9)
+        P = S_diag + fix[:, None, None] * eye3 + jax.vmap(jnp.diag)(damp)
+        Pinv = jnp.linalg.inv(P)
+        x0 = jnp.zeros((M, 3), dtype)
+        r0 = -bs
+        z0 = jnp.einsum("mab,mb->ma", Pinv, r0)
+        rz0 = jnp.sum(r0 * z0)
+        cg = (jnp.int32(0), x0, r0, z0, z0, rz0)
+        return Hpp, Hinv, bl, U, damp, Pinv, cg, rz0
+
+
+@partial(jax.jit, static_argnames=("k_max",), donate_argnums=(0,))
+def _ba_cg_slice(cg, Hpp, Hinv, U, damp, Pinv, p: BAProblem, n_cg, rz0,
+                 k_max: int):
+    """<= k_max PCG sweeps on the Schur-reduced pose system."""
+    with jax.default_matmul_precision("float32"):
+        dtype = damp.dtype
+        M = damp.shape[0]
+        L = Hinv.shape[0]
+        fix = jnp.zeros(M, dtype).at[0].set(1e8)
+
+        def Afun(v):
+            t = jnp.zeros((L, 2), dtype).at[p.obs_lm].add(
+                jnp.einsum("oab,oa->ob", U, v[p.obs_pose])
+            )
+            s = jnp.einsum("lab,lb->la", Hinv, t)
+            Uv = jnp.zeros((M, 3), dtype).at[p.obs_pose].add(
+                jnp.einsum("oab,ob->oa", U, s[p.obs_lm])
+            )
+            return (jnp.einsum("mab,mb->ma", Hpp, v) - Uv
+                    + fix[:, None] * v + damp * v)
+
+        def Minv(v):
+            return jnp.einsum("mab,mb->ma", Pinv, v)
+
+        def cond(c):
+            k, (it, x, rr, z, pk, rz) = c
+            return (k < k_max) & (it < n_cg) & (rz > 1e-10 * rz0) & (rz > 1e-20)
+
+        def body(c):
+            k, (it, x, rr, z, pk, rz) = c
+            Ap = Afun(pk)
+            pAp = jnp.sum(pk * Ap)
+            ok = pAp > 1e-30
+            alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
+            x = x + alpha * pk
+            rr = rr - alpha * Ap
+            z = Minv(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = jnp.where(ok, rz_new / rz, 0.0)
+            pk = z + beta * pk
+            return (k + 1, (it + 1, x, rr, z, pk, rz_new))
+
+        _, cg = jax.lax.while_loop(cond, body, (jnp.int32(0), cg))
+        return cg
+
+
+@jax.jit
+def _ba_lm_accept(poses, landmarks, lam, cost, delta_p, Hinv, bl, U, hd,
+                  p: BAProblem):
+    with jax.default_matmul_precision("float32"):
+        delta_l = back_substitute_landmarks(Hinv, bl, U, delta_p, p)
+        cand_p = poses + delta_p
+        cand_p = cand_p.at[:, 2].set(geo.wrap_angle(cand_p[:, 2]))
+        cand_l = landmarks + delta_l
+        new_cost = ba_cost(cand_p, cand_l, p, hd)
+        accept = new_cost < cost
+        poses = jnp.where(accept, cand_p, poses)
+        landmarks = jnp.where(accept, cand_l, landmarks)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(
+            accept, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 8.0, 1e7)
+        )
+        return poses, landmarks, lam, cost
+
+
+@jax.jit
+def _ba_cost_jit(poses, landmarks, p: BAProblem, hd):
+    with jax.default_matmul_precision("float32"):
+        return ba_cost(poses, landmarks, p, hd)
+
+
+def _optimize_ba_pcg_hostloop(p: BAProblem, cfg: SlamConfig):
+    """Matrix-free Schur BA with every device dispatch bounded (same iterate
+    sequence as `_optimize_ba_pcg`; parity-tested in test_ba)."""
+    dtype = p.poses.dtype
+    M = p.poses.shape[0]
+    K = max(1, int(getattr(cfg, "pg_sweeps_per_dispatch", 4096)))
+    n_cg = jnp.int32(cfg.pg_cg_iterations or 8 * M)
+    hd = jnp.asarray(cfg.pg_huber_delta, dtype)
+    poses, landmarks = p.poses, p.landmarks
+    lam = jnp.asarray(1e-3, dtype)
+    cost = _ba_cost_jit(poses, landmarks, p, hd)
+    for _ in range(cfg.pg_iterations):
+        Hpp, Hinv, bl, U, damp, Pinv, cg, rz0 = _ba_lm_prepare(
+            poses, landmarks, lam, hd, p
+        )
+        rz0_h = float(rz0)
+        while True:
+            cg = _ba_cg_slice(cg, Hpp, Hinv, U, damp, Pinv, p, n_cg, rz0,
+                              k_max=K)
+            it_h, rz_h = int(cg[0]), float(cg[5])
+            if (it_h >= int(n_cg)) or (rz_h <= 1e-10 * rz0_h) or (rz_h <= 1e-20):
+                break
+        poses, landmarks, lam, cost = _ba_lm_accept(
+            poses, landmarks, lam, cost, cg[1], Hinv, bl, U, hd, p
+        )
+    return poses, landmarks, cost
 
 
 def _optimize_ba_pcg(p: BAProblem, cfg: SlamConfig, reduce_fn=None):

@@ -170,7 +170,13 @@ def optimize_pose_graph(g: PoseGraph, cfg: SlamConfig, method: str = "auto"):
       * "pcg"   — matrix-free LM: the normal system is solved with
         block-Jacobi-preconditioned conjugate gradient using only per-edge
         Hessian-vector products (O(E) per CG sweep).  This is how the solver
-        scales to full_seq_1's ~4.5k keyframes and beyond.
+        scales to full_seq_1's ~4.5k keyframes and beyond.  HOST-DRIVEN at
+        bounded dispatch size: one device dispatch per LM linearisation and
+        per <= cfg.pg_sweeps_per_dispatch CG sweeps — never the
+        all-iterations-in-one-program dispatch that crossed the axon chip's
+        per-dispatch fault cliff at full_seq_1 scale (VERDICT.md r04
+        missing #1 / next #5; the r04 full-run worker crash happened inside
+        exactly that single giant BA dispatch).
       * "auto"  — dense when M <= 1024 else pcg.
 
     Runs under float32 matmul precision: the normal system is ill-conditioned
@@ -182,7 +188,7 @@ def optimize_pose_graph(g: PoseGraph, cfg: SlamConfig, method: str = "auto"):
         method = "dense" if g.poses.shape[0] <= 1024 else "pcg"
     with jax.default_matmul_precision("float32"):
         if method == "pcg":
-            return _optimize_pose_graph_pcg(g, cfg)
+            return _optimize_pose_graph_pcg_hostloop(g, cfg)
         return _optimize_pose_graph(g, cfg)
 
 
@@ -350,6 +356,160 @@ def _optimize_pose_graph_pcg(g: PoseGraph, cfg: SlamConfig, reduce_fn=None,
     init = (g.poses, jnp.asarray(1e-4, dtype))
     (poses, _), _ = jax.lax.scan(lm_step, init, deltas, length=cfg.pg_iterations)
     return poses, reduce_fn(graph_cost(poses, g, jnp.asarray(hd, dtype)))
+
+
+# --- host-driven bounded-dispatch PCG (single device) ------------------------
+#
+# Identical math to `_optimize_pose_graph_pcg`, restructured so NO device
+# dispatch exceeds one LM linearisation or `cfg.pg_sweeps_per_dispatch` CG
+# sweeps.  The axon TPU faults on large single dispatches (per-dispatch
+# size/time cliff: a 128-frame eval chunk runs, 512 faults — project memory),
+# and the old solver launched pg_iterations x up-to-8M sweeps as ONE program:
+# the prime suspect for round 4's full-scale BA worker crash (VERDICT.md).
+# The large linearisation products (Ji/Jj/W, preconditioner) stay on device as
+# handles between slice dispatches; only three convergence scalars per slice
+# cross to the host.
+
+from functools import partial as _partial
+
+
+_huber_schedule_jit = jax.jit(_huber_schedule, static_argnums=(1,))
+
+
+@jax.jit
+def _pg_lm_prepare(poses, lam, hd_k, g: PoseGraph):
+    """One LM iteration's linearisation: per-edge Jacobians, projected
+    gradient, damped block-Jacobi preconditioner, initial CG state."""
+    with jax.default_matmul_precision("float32"):
+        dtype = poses.dtype
+        M = poses.shape[0]
+        ei, ej = g.edges_ij[:, 0], g.edges_ij[:, 1]
+        r, Ji, Jj, W = edge_system(poses, g, hd_k)
+        free = (g.node_mask & (jnp.arange(M) > 0)).astype(dtype)[:, None]
+        b = (
+            jnp.zeros((M, 3), dtype)
+            .at[ei].add(jnp.einsum("eab,ea->eb", Ji, W * r))
+            .at[ej].add(jnp.einsum("eab,ea->eb", Jj, W * r))
+        ) * free
+        WJi = W[:, :, None] * Ji
+        WJj = W[:, :, None] * Jj
+        D = (
+            jnp.zeros((M, 3, 3), dtype)
+            .at[ei].add(jnp.einsum("eab,eac->ebc", Ji, WJi))
+            .at[ej].add(jnp.einsum("eab,eac->ebc", Jj, WJj))
+        )
+        ddiag = jnp.diagonal(D, axis1=1, axis2=2)
+        damp = lam * (ddiag + 1e-9)
+        P = (D + jax.vmap(jnp.diag)(damp)) * free[..., None] + (
+            1.0 - free[..., None]
+        ) * jnp.eye(3, dtype=dtype)
+        Pinv = jnp.linalg.inv(P)
+        x0 = jnp.zeros((M, 3), dtype)
+        r0 = -b
+        z0 = jnp.einsum("mab,mb->ma", Pinv, r0)
+        rz0 = jnp.sum(r0 * z0)
+        cg = (jnp.int32(0), x0, r0, z0, z0, rz0)
+        return Ji, Jj, W, damp, free, Pinv, cg, rz0
+
+
+@_partial(jax.jit, static_argnames=("k_max",), donate_argnums=(0,))
+def _pg_cg_slice(cg, Ji, Jj, W, damp, free, Pinv, g: PoseGraph, n_cg, rz0,
+                 k_max: int):
+    """<= k_max PCG sweeps on the projected damped normal system; the CG
+    state carries across slice dispatches, so slicing changes nothing about
+    the iterate sequence — only the per-dispatch work bound."""
+    with jax.default_matmul_precision("float32"):
+        dtype = damp.dtype
+        M = damp.shape[0]
+        ei, ej = g.edges_ij[:, 0], g.edges_ij[:, 1]
+
+        def Afun(v):
+            vf = v * free
+            Jv = jnp.einsum("eab,eb->ea", Ji, vf[ei]) + jnp.einsum(
+                "eab,eb->ea", Jj, vf[ej]
+            )
+            u = W * Jv
+            Hv = (
+                jnp.zeros((M, 3), dtype)
+                .at[ei].add(jnp.einsum("eab,ea->eb", Ji, u))
+                .at[ej].add(jnp.einsum("eab,ea->eb", Jj, u))
+            )
+            return (Hv + damp * vf) * free + (1.0 - free) * v
+
+        def Minv(v):
+            return jnp.einsum("mab,mb->ma", Pinv, v)
+
+        def cond(c):
+            k, (it, x, rr, z, p, rz) = c
+            return (k < k_max) & (it < n_cg) & (rz > 1e-10 * rz0) & (rz > 1e-20)
+
+        def body(c):
+            k, (it, x, rr, z, p, rz) = c
+            Ap = Afun(p)
+            pAp = jnp.sum(p * Ap)
+            ok = pAp > 1e-30
+            alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
+            x = x + alpha * p
+            rr = rr - alpha * Ap
+            z = Minv(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = jnp.where(ok, rz_new / rz, 0.0)
+            p = z + beta * p
+            return (k + 1, (it + 1, x, rr, z, p, rz_new))
+
+        _, cg = jax.lax.while_loop(cond, body, (jnp.int32(0), cg))
+        return cg
+
+
+@jax.jit
+def _pg_lm_accept(poses, lam, delta, hd_k, g: PoseGraph):
+    with jax.default_matmul_precision("float32"):
+        cost = graph_cost(poses, g, hd_k)
+        cand = poses + delta
+        cand = cand.at[:, 2].set(geo.wrap_angle(cand[:, 2]))
+        new_cost = graph_cost(cand, g, hd_k)
+        accept = new_cost < cost
+        poses = jnp.where(accept, cand, poses)
+        lam = jnp.where(
+            accept, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 8.0, 1e7)
+        )
+        return poses, lam
+
+
+@jax.jit
+def _pg_cost(poses, g: PoseGraph, hd):
+    with jax.default_matmul_precision("float32"):
+        return graph_cost(poses, g, hd)
+
+
+def _optimize_pose_graph_pcg_hostloop(g: PoseGraph, cfg: SlamConfig):
+    """Matrix-free LM with every device dispatch bounded (see
+    optimize_pose_graph's "pcg" doc).  Same iterate sequence as
+    `_optimize_pose_graph_pcg` — parity-tested in test_posegraph."""
+    import numpy as np
+
+    dtype = g.poses.dtype
+    M = g.poses.shape[0]
+    K = max(1, int(getattr(cfg, "pg_sweeps_per_dispatch", 4096)))
+    n_cg = jnp.int32(cfg.pg_cg_iterations or 8 * M)
+    deltas = np.asarray(_huber_schedule_jit(g, cfg))
+    poses = g.poses
+    lam = jnp.asarray(1e-4, dtype)
+    for hd_host in deltas:
+        hd_k = jnp.asarray(hd_host, dtype)
+        Ji, Jj, W, damp, free, Pinv, cg, rz0 = _pg_lm_prepare(
+            poses, lam, hd_k, g
+        )
+        rz0_h = float(rz0)
+        while True:
+            cg = _pg_cg_slice(cg, Ji, Jj, W, damp, free, Pinv, g, n_cg, rz0,
+                              k_max=K)
+            # three scalar fetches per slice decide continuation on the host
+            it_h, rz_h = int(cg[0]), float(cg[5])
+            if (it_h >= int(n_cg)) or (rz_h <= 1e-10 * rz0_h) or (rz_h <= 1e-20):
+                break
+        poses, lam = _pg_lm_accept(poses, lam, cg[1], hd_k, g)
+    return poses, _pg_cost(poses, g, jnp.asarray(cfg.pg_huber_delta, dtype))
 
 
 def odometry_graph_from_map(map_poses, cursor, max_edges=None,
