@@ -24,14 +24,23 @@ tree):
     consumer sees, and the number the remote client has never faked.
   * An analytic FLOP floor of the fused step bounds every reported number:
     fps > peak_flops / flops_per_frame is impossible, and any path violating
-    it is reported as null with a note instead of as a result.
-  * MFU = flops_per_frame x fps / chip peak (bf16 peak — conservative: the
-    DoH matmuls run Precision.HIGHEST, whose effective peak is lower).
+    it is reported as null with a note instead of as a result.  The bound
+    uses the Precision.HIGHEST effective peak (~bf16/3: the 3-pass bf16
+    decomposition the DoH matmuls actually run) — the raw-bf16 bound was ~3x
+    too lenient to catch the round-1 class of fake number (VERDICT.md r04
+    weak #7 / next #3).
+  * Each path's result is PRINTED (stderr) the moment it is measured: the
+    round-4 bench crashed on its last path and destroyed the two numbers it
+    had already collected (BENCH_r04 rc=1).  The single stdout JSON line
+    contract is unchanged.
+  * The chunked path runs <= 128 frames per dispatch — the axon chip's
+    per-dispatch fault cliff (chunk 512 faults, 128 runs; project memory).
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -45,6 +54,11 @@ _PEAK_BF16 = (
     ("v5litepod", 197e12),
     ("v4", 275e12),
 )
+
+# Precision.HIGHEST matmuls decompose each operand into 3 bf16 passes; the
+# effective dense-matmul peak is ~1/3 of the bf16 peak.  This is the right
+# impossibility bound for the DoH Toeplitz matmuls, which run HIGHEST.
+_HIGHEST_PRECISION_FACTOR = 3.0
 
 
 def _chip_peak_flops(device) -> float | None:
@@ -111,14 +125,24 @@ def main():
     flops_frame = flops_per_keyframe_frame(cfg)
     dev = jax.devices()[0]
     peak = _chip_peak_flops(dev)
-    # fps above this is physically impossible on this chip
-    fps_bound = (peak / flops_frame) if peak else None
+    peak_eff = (peak / _HIGHEST_PRECISION_FACTOR) if peak else None
+    # fps above this is physically impossible on this chip: the DoH matmuls
+    # run Precision.HIGHEST, whose effective peak is ~bf16/3
+    fps_bound = (peak_eff / flops_frame) if peak_eff else None
 
     def check(fps):
         """None out numbers above the chip's FLOP-floor bound."""
         if fps_bound is not None and fps > fps_bound:
             return None
         return round(fps, 3)
+
+    def partial(name, fps):
+        """Emit a path's number the moment it exists (crash insurance —
+        BENCH_r04 died on its last path with two good numbers unprinted)."""
+        print(f"# measured {name}: {fps:.2f} fps"
+              + ("" if check(fps) is not None else
+                 f"  [IMPOSSIBLE > bound {fps_bound:.0f} -> null]"),
+              file=sys.stderr, flush=True)
 
     # warm-up + one tiny early fetch: switches the axon client into its
     # reliable synchronous-fetch mode before anything is timed (a FIRST
@@ -135,6 +159,7 @@ def main():
         jax.block_until_ready((state, out))
     np.asarray(state.pose)                      # fetch-forced completion
     fps_sync = n_meas / (time.perf_counter() - t0)
+    partial("per_call_sync", fps_sync)
 
     # --- async per-dispatch path: one dispatch per frame, fetch at end -----
     state_a = init(scans[0], maps)
@@ -146,24 +171,36 @@ def main():
         state_a, out = step(state_a, scans[i], maps)
     np.asarray(state_a.pose)                    # states chain: forces ALL
     fps_async = n_meas / (time.perf_counter() - t0)
+    partial("per_dispatch_async", fps_async)
 
-    # --- chunked path: n_meas frames per dispatch via lax.scan -------------
+    # --- chunked path: <=128 frames per dispatch via lax.scan --------------
+    # chunk_f = 100 keeps each dispatch on the safe side of the axon chip's
+    # per-dispatch fault cliff (128 runs, 512 faults); the r04 bench shipped
+    # all 200 frames as ONE dispatch and crashed the worker (BENCH_r04 rc=1)
+    chunk_f = 100
+    n_chunks = n_meas // chunk_f
     chunk = jax.jit(
         lambda s, ps, m: frontend.slam_step_chunk(s, ps, m, cfg),
         donate_argnums=(0,),
     )
-    batch = jnp.stack(scans[n_warm + 1 : n_warm + 1 + n_meas])
+    batches = [
+        jnp.stack(scans[n_warm + 1 + k * chunk_f
+                        : n_warm + 1 + (k + 1) * chunk_f])
+        for k in range(n_chunks)
+    ]
     state_c = init(scans[0], maps)
-    state_c, outs = chunk(state_c, batch, maps)      # compile + warm
+    state_c, outs = chunk(state_c, batches[0], maps)      # compile + warm
     np.asarray(state_c.pose)
     reps = 4
     t0 = time.perf_counter()
     for _ in range(reps):
-        state_c, outs = chunk(state_c, batch, maps)  # chained via donated state
+        for b in batches:
+            state_c, outs = chunk(state_c, b, maps)  # chained via donated state
     np.asarray(state_c.pose)                    # fetch forces every rep
-    fps_chunked = reps * n_meas / (time.perf_counter() - t0)
+    fps_chunked = reps * n_chunks * chunk_f / (time.perf_counter() - t0)
+    partial("chunked", fps_chunked)
 
-    mfu = (flops_frame * fps_chunked / peak) if peak else None
+    mfu = (flops_frame * fps_chunked / peak_eff) if peak_eff else None
 
     headline = check(fps_chunked)
     result = {
@@ -176,19 +213,23 @@ def main():
         "per_call_sync_fps": check(fps_sync),
         "per_dispatch_fps": check(fps_async),
         "chunked_fps": headline,
-        "chunk_frames": n_meas,
+        "chunk_frames": chunk_f,
         "measured_frames": n_meas,
         "device_kind": getattr(dev, "device_kind", str(dev)),
         "flops_per_frame_model": flops_frame,
         "flop_model": "DoH Toeplitz blurs only (n_sigma*4*S^3) — lower "
                       "bound; see bench.flops_per_keyframe_frame",
         "chip_peak_bf16_flops": peak,
+        "chip_peak_highest_precision_flops": peak_eff,
         "fps_upper_bound_flop_model": (round(fps_bound, 1)
                                        if fps_bound else None),
-        "mfu_vs_bf16_peak": (round(mfu, 4) if mfu is not None else None),
-        "mfu_note": "DoH matmuls run Precision.HIGHEST (multi-pass), so "
-                    "achievable peak is several x below bf16 peak; MFU here "
-                    "is deliberately conservative",
+        "mfu_vs_highest_precision_peak": (round(mfu, 4)
+                                          if mfu is not None else None),
+        "mfu_note": "MFU and the impossibility bound use the "
+                    "Precision.HIGHEST effective peak (~bf16/3) — the "
+                    "precision the DoH matmuls actually run; the raw-bf16 "
+                    "bound was ~3x too lenient to catch impossible numbers "
+                    "(VERDICT.md r04 weak #7)",
         "blocking": "every timed path ends in np.asarray(state.pose) — a D2H "
                     "fetch of the chained (donated) state that cannot "
                     "complete before all timed dispatches executed; "

@@ -51,6 +51,50 @@ class EvalResult:
     n_loop_edges_bad: int = 0        # edges whose translation error > 1 m
     backend_error: Optional[str] = None  # backend/BA crash salvaged (results
                                          # up to the crash point are kept)
+    # drift diagnostics (VERDICT.md r04 next #4): ATE alone cannot separate a
+    # heading random walk from translation noise; KITTI-style RPE/100 m and
+    # heading-error growth can
+    rpe_trans_pct: Optional[float] = None      # mean rel. transl. err, % of 100 m
+    rpe_rot_deg_100m: Optional[float] = None   # mean rel. rot. err, deg / 100 m
+    heading_rmse_deg: Optional[float] = None   # absolute heading error RMSE
+
+
+def compute_rpe(poses_gt: np.ndarray, est: np.ndarray, seg_m: float = 100.0,
+                stride: int = 10):
+    """KITTI-style relative pose error over ~`seg_m`-long GT path segments.
+
+    Returns (translation error as % of segment length, rotation error in
+    deg/100 m), averaged over segment starts every `stride` frames — the
+    drift-RATE metrics ATE hides (a single early heading error dominates ATE
+    but contributes one sample here).
+    """
+    d = np.linalg.norm(np.diff(poses_gt[:, :2], axis=0), axis=1)
+    cum = np.concatenate([[0.0], np.cumsum(d)])
+    errs_t, errs_r = [], []
+    for i in range(0, len(poses_gt) - 1, stride):
+        j = int(np.searchsorted(cum, cum[i] + seg_m))
+        if j >= len(poses_gt):
+            break
+        seg = cum[j] - cum[i]
+        if seg <= 1.0:
+            continue
+
+        def rel(p, i=i, j=j):
+            dd = p[j, :2] - p[i, :2]
+            c, s = np.cos(p[i, 2]), np.sin(p[i, 2])
+            return np.array(
+                [c * dd[0] + s * dd[1], -s * dd[0] + c * dd[1],
+                 (p[j, 2] - p[i, 2] + np.pi) % (2 * np.pi) - np.pi]
+            )
+
+        rg, re = rel(poses_gt), rel(est)
+        errs_t.append(np.linalg.norm(re[:2] - rg[:2]) / seg)
+        dth = (re[2] - rg[2] + np.pi) % (2 * np.pi) - np.pi
+        errs_r.append(abs(dth) / seg * 100.0)
+    if not errs_t:
+        return None, None
+    return (float(np.mean(errs_t) * 100.0),
+            float(np.degrees(np.mean(errs_r))))
 
 
 def gt_subsequence(gt_csv: str, start: int, count: int, stride: int = 1):
@@ -68,7 +112,7 @@ def gt_subsequence(gt_csv: str, start: int, count: int, stride: int = 1):
 
 
 def make_eval_chunk(cfg: SlamConfig, noise: float, k_vis: int = 512,
-                    renderer: str = "max"):
+                    renderer: str = "max", quantize: bool = True):
     """One jitted program: render F synthetic scans ON DEVICE and run the
     fused SLAM step on each — a chunk dispatch ships only [F,3] GT poses,
     [F,3] velocities, [F] frame ids and a [F] validity mask.
@@ -106,7 +150,13 @@ def make_eval_chunk(cfg: SlamConfig, noise: float, k_vis: int = 512,
                     wp, wr, pose, vel, k, cfg, noise=noise, k_vis=k_vis,
                     mode=renderer,
                 )
-                return frontend.slam_step(s_, quantize_u8(scan), maps, cfg)
+                # u8 quantisation mimics the real PNG ingestion path;
+                # quantize=False is the float A/B for the drift analysis
+                # (u8_exp r04: chunked-u8 15.74 m vs per-frame float 12.13 m
+                # confounded TWO variables — this isolates one)
+                return frontend.slam_step(
+                    s_, quantize_u8(scan) if quantize else scan, maps, cfg
+                )
 
             def skip(s_):
                 f32 = s_.pose.dtype
@@ -157,6 +207,10 @@ def evaluate_sequence(
     renderer: str = "max",
     partial_write=None,
     sync_every: int = 1,
+    quantize: bool = True,
+    ckpt_dir: Optional[str] = None,
+    ckpt_every: int = 2048,
+    resume: bool = False,
 ):
     """Render scans along poses_gt, run SLAM, report ATE (+backend ATE).
 
@@ -221,9 +275,12 @@ def evaluate_sequence(
             ) / period
         else:
             vel = np.zeros(3)
+        # mode=renderer: the host A/B paths must render the SAME blob
+        # composition the artifact records (ADVICE.md r04 #1 — --host-render
+        # --renderer sum previously rendered max silently)
         return fd.render_polar_scan(
             world_pts, world_refl, poses_gt[t], cfg, velocity=vel, rng=rng,
-            noise=noise,
+            noise=noise, mode=renderer,
         )
 
     T = len(poses_gt)
@@ -232,6 +289,7 @@ def evaluate_sequence(
     n_online_loops = 0
     backend_state = None
     health = None
+    fps_base = 1          # first frame index processed THIS process (resume)
     t0 = time.perf_counter()
     if chunk_frames > 0 and device_render:
         from radarslampy_tpu.models.loopclosure import incremental_backend
@@ -249,7 +307,8 @@ def evaluate_sequence(
         wp = jnp.asarray(world_pts, jnp.float32)
         wr = jnp.asarray(world_refl, jnp.float32)
         key = jax.random.PRNGKey(seed)
-        chunk = make_eval_chunk(cfg, noise=noise, renderer=renderer)
+        chunk = make_eval_chunk(cfg, noise=noise, renderer=renderer,
+                                quantize=quantize)
         # one tiny D2H before the loop: the axon remote client's FIRST
         # device fetch after a long async run can wedge indefinitely
         # (observed on the 8.8k-frame run); an early fetch switches the
@@ -265,8 +324,92 @@ def evaluate_sequence(
         # skill), which a full 8.8k-frame run exceeds at chunk sizes <512.
         CONSOLIDATE = max(1, consolidate_every)
         groups = []  # [k,F,6] consolidated DEVICE stacks
+        # Results already fetched to host (at a checkpoint, or loaded on
+        # resume): [F,6] numpy blocks + their valid counts, strictly BEFORE
+        # everything still on device in frame order.
+        host_flat: list = []
+        host_valid: list = []
         F = chunk_frames
         t = 1
+
+        def _drain_to_host():
+            """Fetch all pending device result blocks to the host lists (one
+            bulk sync point — used at checkpoints)."""
+            nonlocal chunk_packed, groups
+            for g in jax.device_get(groups):
+                host_flat.extend(np.asarray(g))
+            host_flat.extend(jax.device_get(chunk_packed))
+            host_valid.extend(chunk_valid)
+            chunk_valid.clear()
+            chunk_packed = []
+            groups = []
+
+        def _write_ckpt(next_t):
+            """Persist everything a resume needs: SlamState, fetched result
+            blocks, accumulated backend edges, cursors.  A mid-run TPU fault
+            then costs minutes, not the run (VERDICT.md r04: both full-seq
+            attempts died with zero artifact because this didn't exist)."""
+            from radarslampy_tpu.utils.checkpoint import save_state
+
+            _drain_to_host()
+            save_state(ckpt_dir, jax.device_get(state), meta={
+                "next_t": int(next_t),
+                "n_online_loops": int(n_online_loops),
+                "seed": int(seed),
+                "count": int(T),
+                "chunk_frames": int(F),
+                "renderer": renderer,
+                "quantize": bool(quantize),
+                "backend_prev_cursor": (int(backend_state.prev_cursor)
+                                        if backend_state is not None else 0),
+            })
+            np.savez(
+                f"{ckpt_dir}/eval_results.npz",
+                blocks=(np.stack(host_flat) if host_flat
+                        else np.zeros((0, F, 6), np.float32)),
+                valid=np.asarray(host_valid, np.int64),
+                edges_ij=(backend_state.edges_ij if backend_state is not None
+                          else np.zeros((0, 2), np.int32)),
+                edges_meas=(backend_state.edges_meas
+                            if backend_state is not None
+                            else np.zeros((0, 3), np.float32)),
+            )
+
+        if resume and ckpt_dir is not None:
+            import os
+
+            from radarslampy_tpu.models.loopclosure import BackendState
+            from radarslampy_tpu.utils.checkpoint import load_meta, load_state
+
+            if os.path.exists(f"{ckpt_dir}/treedef.json"):
+                meta = load_meta(ckpt_dir)
+                if (meta.get("count") != T or meta.get("seed") != seed
+                        or meta.get("chunk_frames") != F
+                        or meta.get("renderer") != renderer
+                        or meta.get("quantize", True) != quantize):
+                    raise ValueError(
+                        f"checkpoint at {ckpt_dir} was written by a different "
+                        f"run configuration ({meta}) — refusing to resume")
+                loaded, _ = load_state(ckpt_dir, jax.device_get(state))
+                state = jax.tree_util.tree_map(jnp.asarray, loaded)
+                rz = np.load(f"{ckpt_dir}/eval_results.npz")
+                host_flat = list(rz["blocks"])
+                host_valid = list(rz["valid"])
+                t = int(meta["next_t"])
+                n_online_loops = int(meta["n_online_loops"])
+                if backend_every:
+                    backend_state = BackendState(
+                        prev_cursor=int(meta["backend_prev_cursor"]),
+                        edges_ij=rz["edges_ij"],
+                        edges_meas=rz["edges_meas"],
+                    )
+                if progress_every:
+                    print(f"  resumed from {ckpt_dir} at frame {t}/{T} "
+                          f"({len(host_flat)} result blocks, "
+                          f"{n_online_loops} online loops)", flush=True)
+
+        fps_base = t
+        last_ckpt_t = t
         while t < T:
             n = min(F, T - t)
             pv = np.zeros((F, 3), np.float32)
@@ -292,6 +435,11 @@ def evaluate_sequence(
             n_chunk = len(chunk_valid)
             if sync_every and (n_chunk % sync_every == 0):
                 jax.block_until_ready(packed)
+            elif not sync_every and n_chunk % 64 == 63:
+                # backstop even at --sync-every 0: the client buffers every
+                # pending dispatch's inputs, so the queue needs SOME bound
+                # (ADVICE.md r04 #3)
+                jax.block_until_ready(packed)
             tc1 = time.perf_counter()
             chunk_packed.append(packed)
             chunk_valid.append(n)
@@ -308,11 +456,21 @@ def evaluate_sequence(
                 print(f"  frame {t}/{T}  "
                       f"({(tc1 - tc0) / n * 1e3:.1f} ms/frame device wall)",
                       flush=True)
-        # bulk fetch of all per-chunk packed blocks (one sync point)
+            if ckpt_dir is not None and (t - last_ckpt_t) >= ckpt_every \
+                    and t < T:
+                _write_ckpt(t)
+                last_ckpt_t = t
+                if progress_every:
+                    print(f"  checkpoint written at frame {t} -> {ckpt_dir}",
+                          flush=True)
+        # bulk fetch of all per-chunk packed blocks (one sync point);
+        # host blocks (checkpoint drains / resume) come first in frame order
         stats_inl, stats_ok, stats_rt = [], [], []
-        flat = [b for g in jax.device_get(groups) for b in np.asarray(g)]
+        all_valid = host_valid + chunk_valid
+        flat = list(host_flat)
+        flat.extend(b for g in jax.device_get(groups) for b in np.asarray(g))
         flat.extend(jax.device_get(chunk_packed))
-        for block, n in zip(flat, chunk_valid):
+        for block, n in zip(flat, all_valid):
             block = np.asarray(block)[:n]
             device_poses.extend(block[:, :3])
             stats_inl.extend(block[:, 3])
@@ -381,11 +539,14 @@ def evaluate_sequence(
     import jax as _jax
 
     _jax.block_until_ready(state.pose)
-    fps = (T - 1) / (time.perf_counter() - t0)
+    fps = max(T - fps_base, 1) / (time.perf_counter() - t0)
 
     est = np.stack([np.asarray(p) for p in _jax.device_get(device_poses)])
     est = np.vstack([poses_gt[0][None], est])
     ate = compute_rmse(poses_gt, est)
+    rpe_t, rpe_r = compute_rpe(poses_gt, est)
+    dth_abs = (est[:, 2] - poses_gt[:, 2] + np.pi) % (2 * np.pi) - np.pi
+    heading_rmse = float(np.degrees(np.sqrt(np.mean(dth_abs ** 2))))
 
     res = EvalResult(
         frames=T,
@@ -393,6 +554,9 @@ def evaluate_sequence(
         ate_odometry=ate,
         n_keyframes=int(state.map.cursor),
         n_online_loops=n_online_loops,
+        rpe_trans_pct=rpe_t,
+        rpe_rot_deg_100m=rpe_r,
+        heading_rmse_deg=heading_rmse,
     )
     if health is not None:
         res.mean_inliers, res.frac_fit_ok, res.n_retracks = health
@@ -424,12 +588,29 @@ def evaluate_sequence(
             # accumulated edge set.
             tail_ij, tail_rel = scan_new_loops(m, cfg,
                                                backend_state.prev_cursor)
-            acc_ij = np.concatenate([backend_state.edges_ij, tail_ij])
-            acc_rel = np.concatenate([backend_state.edges_meas, tail_rel])
+            # dedup the tail against accumulated edges, mirroring
+            # incremental_backend's seen-set — a duplicated (i,j) pair would
+            # silently double that edge's information weight (ADVICE.md r04 #2)
+            seen_ij = set(map(tuple, backend_state.edges_ij.tolist()))
+            fresh = np.array(
+                [tuple(e) not in seen_ij for e in tail_ij.tolist()], bool
+            )
+            acc_ij = np.concatenate([backend_state.edges_ij, tail_ij[fresh]])
+            acc_rel = np.concatenate([backend_state.edges_meas,
+                                      tail_rel[fresh]])
             graph = graph_with_loop_edges(m, acc_ij, acc_rel)
             res.n_loop_closures = len(acc_ij)
         else:
-            graph, matches = close_loops(m, cfg)
+            # post-hoc-only under FULL end-of-run drift: scale the pose-
+            # proximity candidate gate with path length (drift grows with
+            # path; a fixed 10 m gate misses true revisits whose estimates
+            # drifted apart), capped so the search stays selective.  The
+            # appearance candidates and the zero-translation ICP starts are
+            # the main drift defences (loopclosure.verify_candidate).
+            path_m = float(np.sum(np.linalg.norm(
+                np.diff(poses_gt[:, :2], axis=0), axis=1)))
+            graph, matches = close_loops(
+                m, cfg, radius_m=min(60.0, 10.0 + 0.005 * path_m))
             res.n_loop_closures = int(np.asarray(matches.ok).sum())
         # accepted loop edges, uniformly for both paths: every graph builder
         # appends loop edges after the M odometry-chain slots
@@ -605,6 +786,19 @@ def main(argv=None):
     p.add_argument("--host-render", action="store_true",
                    help="render scans on host even when chunking (A/B "
                         "against the device renderer)")
+    p.add_argument("--no-quantize", action="store_true",
+                   help="skip u8 quantisation of rendered scans (float A/B "
+                        "for the drift analysis; the default u8 path mimics "
+                        "real PNG ingestion)")
+    p.add_argument("--ckpt-dir", default=None,
+                   help="checkpoint directory: the chunked run saves "
+                        "(state, results, backend edges, cursor) every "
+                        "--ckpt-every frames so a mid-run TPU fault costs "
+                        "minutes, not the run")
+    p.add_argument("--ckpt-every", type=int, default=2048)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --ckpt-dir if a compatible checkpoint "
+                        "exists (config mismatch refuses)")
     p.add_argument("--out", default=None, help="write a JSON result artifact")
     a = p.parse_args(argv)
 
@@ -672,6 +866,13 @@ def main(argv=None):
                             if res.frac_fit_ok is not None else None),
             "n_retracks": res.n_retracks,
             "backend_error": res.backend_error,
+            "rpe_trans_pct": (round(res.rpe_trans_pct, 3)
+                              if res.rpe_trans_pct is not None else None),
+            "rpe_rot_deg_100m": (round(res.rpe_rot_deg_100m, 3)
+                                 if res.rpe_rot_deg_100m is not None else None),
+            "heading_rmse_deg": (round(res.heading_rmse_deg, 3)
+                                 if res.heading_rmse_deg is not None else None),
+            "quantize": not a.no_quantize,
             "reference_ate_m": 41.81,
         }
 
@@ -693,7 +894,11 @@ def main(argv=None):
                             device_render=not a.host_render,
                             renderer=a.renderer,
                             partial_write=_write,
-                            sync_every=a.sync_every)
+                            sync_every=a.sync_every,
+                            quantize=not a.no_quantize,
+                            ckpt_dir=a.ckpt_dir,
+                            ckpt_every=a.ckpt_every,
+                            resume=a.resume)
     print(f"odometry ATE {res.ate_odometry:.2f} m over {res.frames} frames "
           f"({res.fps:.1f} fps), {res.n_keyframes} keyframes, "
           f"{res.n_online_loops} online loops")

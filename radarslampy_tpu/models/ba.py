@@ -407,7 +407,8 @@ def _optimize_ba_pcg_hostloop(p: BAProblem, cfg: SlamConfig):
         while True:
             cg = _ba_cg_slice(cg, Hpp, Hinv, U, damp, Pinv, p, n_cg, rz0,
                               k_max=K)
-            it_h, rz_h = int(cg[0]), float(cg[5])
+            # ONE D2H round trip per slice decides continuation on the host
+            it_h, rz_h = jax.device_get((cg[0], cg[5]))
             if (it_h >= int(n_cg)) or (rz_h <= 1e-10 * rz0_h) or (rz_h <= 1e-20):
                 break
         poses, landmarks, lam, cost = _ba_lm_accept(

@@ -504,8 +504,8 @@ def _optimize_pose_graph_pcg_hostloop(g: PoseGraph, cfg: SlamConfig):
         while True:
             cg = _pg_cg_slice(cg, Ji, Jj, W, damp, free, Pinv, g, n_cg, rz0,
                               k_max=K)
-            # three scalar fetches per slice decide continuation on the host
-            it_h, rz_h = int(cg[0]), float(cg[5])
+            # ONE D2H round trip per slice decides continuation on the host
+            it_h, rz_h = jax.device_get((cg[0], cg[5]))
             if (it_h >= int(n_cg)) or (rz_h <= 1e-10 * rz0_h) or (rz_h <= 1e-20):
                 break
         poses, lam = _pg_lm_accept(poses, lam, cg[1], hd_k, g)

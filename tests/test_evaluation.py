@@ -122,6 +122,82 @@ def test_chunk_consolidation_preserves_results(small_cfg):
                                rtol=1e-6)
 
 
+def test_eval_checkpoint_resume_bitmatch(small_cfg, tmp_path):
+    """The eval harness's checkpoint/resume (VERDICT.md r04 next #1): a run
+    resumed from a mid-run checkpoint produces BIT-IDENTICAL per-frame poses
+    to the uninterrupted run — render keys fold absolute frame indices, the
+    chunk program is chunking-invariant, and the checkpoint carries the full
+    SlamState + fetched result blocks + cursors."""
+    poses = evaluation.gt_subsequence(GT_CSV, 400, 41)
+    ckpt = str(tmp_path / "ck")
+    full = evaluation.evaluate_sequence(
+        poses, small_cfg, seed=3, chunk_frames=4, return_state=True,
+        ckpt_dir=ckpt, ckpt_every=16,
+    )
+    # the surviving checkpoint is the LAST one written mid-run (frame < 41);
+    # resuming from it must replay only the tail and land on the same result
+    from radarslampy_tpu.utils.checkpoint import load_meta
+
+    meta = load_meta(ckpt)
+    assert 1 < meta["next_t"] < 41, meta
+    resumed = evaluation.evaluate_sequence(
+        poses, small_cfg, seed=3, chunk_frames=4, return_state=True,
+        ckpt_dir=ckpt, ckpt_every=16, resume=True,
+    )
+    assert resumed.frames == full.frames
+    assert resumed.n_keyframes == full.n_keyframes
+    np.testing.assert_array_equal(resumed.est_frames, full.est_frames)
+    np.testing.assert_array_equal(
+        np.asarray(resumed.final_state.map.poses),
+        np.asarray(full.final_state.map.poses),
+    )
+    # config mismatch refuses instead of silently mixing runs
+    with pytest.raises(ValueError, match="different run configuration"):
+        evaluation.evaluate_sequence(
+            poses, small_cfg, seed=4, chunk_frames=4,
+            ckpt_dir=ckpt, resume=True,
+        )
+
+
+def test_associate_frame_ids_on_self_intersection():
+    """Keyframe->GT association by creating-frame index must pick the correct
+    GT row at a path self-intersection where nearest-position association
+    picks the other branch (VERDICT.md r03 weak #6 / r04 next #7).
+
+    Figure-8 geometry: the two lobes cross at the origin, so frames ~25 and
+    ~75 share (x, y) with opposite headings.  A keyframe created at the
+    second crossing whose ESTIMATED position drifted slightly toward the
+    first crossing's estimate is mis-associated by nearest-xy — and exactly
+    associated by frame index."""
+    t = np.linspace(0, 2 * np.pi, 100, endpoint=False)
+    # lemniscate of Gerono: crosses itself at the origin at t=pi/2, 3pi/2
+    x = 30.0 * np.cos(t)
+    y = 15.0 * np.sin(2 * t)
+    th = np.arctan2(np.gradient(y), np.gradient(x))
+    poses_gt = np.stack([x, y, th], axis=1)
+    i_a, i_b = 25, 75          # the two crossing frames (t = pi/2, 3pi/2)
+    assert np.linalg.norm(poses_gt[i_a, :2] - poses_gt[i_b, :2]) < 1.0
+    # GT headings at the crossing differ — the two branches are distinct rows
+    dth = (poses_gt[i_a, 2] - poses_gt[i_b, 2] + np.pi) % (2 * np.pi) - np.pi
+    assert abs(dth) > 0.5
+
+    # The mismatch arises when the online backend has RE-ANCHORED the map
+    # (keyframe poses near GT) while est_frames keep raw drifted odometry:
+    # the corrected keyframe sits at the crossing, nearest to the EARLIER
+    # branch's (undrifted) estimate, not to its own drifted creating frame.
+    est = poses_gt.copy()
+    est[i_b, :2] += 0.8                 # later branch drifted in est_frames
+    kf_poses = poses_gt[[i_b]].copy()   # map pose corrected back to truth
+
+    by_index = evaluation._associate(kf_poses, poses_gt, est,
+                                     frame_ids=np.array([i_b]))
+    np.testing.assert_array_equal(by_index[0], poses_gt[i_b])
+
+    by_nearest = evaluation._associate(kf_poses, poses_gt, est, frame_ids=None)
+    assert np.array_equal(by_nearest[0], poses_gt[i_a]), (
+        "precondition: nearest-xy should pick the wrong branch here")
+
+
 def test_eval_ba_stage(small_cfg):
     """`run_ba` adds a bundle-adjustment row to the backend result: a BA
     problem built from the map's persistent landmark ids, solved by the
