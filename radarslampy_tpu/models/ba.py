@@ -31,6 +31,7 @@ import numpy as np
 from radarslampy_tpu.config import SlamConfig
 from radarslampy_tpu.models.frontend import MapState
 from radarslampy_tpu.ops import geometry as geo
+from radarslampy_tpu.ops import trig
 
 
 class BAProblem(NamedTuple):
@@ -104,7 +105,7 @@ def build_ba_problem(map_state: MapState, min_views: int = 2,
 
 def _obs_residual(pose, lm, z):
     """r = z - R(theta)^T (lm - t), difference form."""
-    c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+    s, c = trig.sin_cos(pose[2])
     d = lm - pose[:2]
     pred = jnp.stack([c * d[0] + s * d[1], -s * d[0] + c * d[1]])
     return z - pred

@@ -51,6 +51,7 @@ from radarslampy_tpu.ops.routed_warp import (
     build_routed_warp_maps,
     routed_polar_to_cartesian,
 )
+from radarslampy_tpu.ops import trig
 from radarslampy_tpu.ops.tracking import track_klt
 
 
@@ -174,7 +175,8 @@ def keyframe_pointcloud(polar, velocity, cfg: SlamConfig):
     r = pc.range_idx * cfg.range_resolution_m
     # image-frame convention shared with the Cartesian warp (grid.py:52-54):
     # x along phi=0, y along phi=pi/2 (image row axis)
-    pts = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], axis=-1)  # [A, P, 2]
+    sphi, cphi = trig.sin_cos(phi)
+    pts = jnp.stack([r * cphi, r * sphi], axis=-1)  # [A, P, 2]
     flat_pts = pts.reshape(A * P, 2)
     score = jnp.where(pc.mask, pc.power, -jnp.inf).reshape(A * P)
     vals, idx = jax.lax.top_k(score, cfg.pc_points_per_kf)
@@ -317,7 +319,7 @@ def slam_step(state: SlamState, polar, maps: FrameMaps, cfg: SlamConfig):
     # pixel motion exceeds the pyramid's reach stay tracked.  The reference
     # computed exactly this estimate and threw it away (Tracker.py:62-72).
     if cfg.use_fmt:
-        cR, sR = jnp.cos(fmt_rot), jnp.sin(fmt_rot)
+        sR, cR = trig.sin_cos(fmt_rot)
         d = state.feat_px - cfg.cart_center
         pred = jnp.stack(
             [cR * d[:, 0] - sR * d[:, 1], sR * d[:, 0] + cR * d[:, 1]],
@@ -352,8 +354,8 @@ def slam_step(state: SlamState, polar, maps: FrameMaps, cfg: SlamConfig):
     # convention: R curr + h = prev  => (R, h) is the relative motion curr -> prev.
     # Compose the world-pose guess in well-conditioned difference form (small
     # delta rotated into world, not a 3x3 product — float32 trig care).
-    dth = jnp.arctan2(R[1, 0], R[0, 0])
-    c0, s0 = jnp.cos(state.pose[2]), jnp.sin(state.pose[2])
+    dth = trig.atan2(R[1, 0], R[0, 0])
+    s0, c0 = trig.sin_cos(state.pose[2])
     pose_init = jnp.stack(
         [
             state.pose[0] + c0 * h[0] - s0 * h[1],

@@ -31,6 +31,7 @@ from radarslampy_tpu.config import SlamConfig
 from radarslampy_tpu.models.frontend import MapState
 from radarslampy_tpu.models.posegraph import PoseGraph, odometry_graph_from_map
 from radarslampy_tpu.ops import geometry as geo
+from radarslampy_tpu.ops import trig
 
 
 def trim_map_state(m: MapState, pad_multiple: int = 256) -> MapState:
@@ -175,7 +176,7 @@ def icp_align(pts_i, mask_i, pts_j, mask_j, init_rel,
         R, h, ok = geo.procrustes_masked(pts_i, pj[nn], w)
         # compose the correction onto rel (3x3 product is fine: magnitudes here
         # are the *relative* pose, already small)
-        th = jnp.arctan2(R[1, 0], R[0, 0])
+        th = trig.atan2(R[1, 0], R[0, 0])
         Tn = geo.pose_to_transform(jnp.array([h[0], h[1], th])) @ T
         new_rel = geo.transform_to_pose(Tn)
         new_rel = jnp.where(ok, new_rel, rel)
@@ -221,7 +222,7 @@ def verify_candidate(m: MapState, i, j, cfg: SlamConfig,
     pj = m.poses[j]
     # conditioned relative pose guess
     d = pj[:2] - pi[:2]
-    c0, s0 = jnp.cos(pi[2]), jnp.sin(pi[2])
+    s0, c0 = trig.sin_cos(pi[2])
     init_rel = jnp.stack(
         [c0 * d[0] + s0 * d[1], -s0 * d[0] + c0 * d[1],
          geo.wrap_angle(pj[2] - pi[2])]
@@ -434,7 +435,7 @@ def _reanchor_state_device(state, poses_opt):
     o = jax.lax.dynamic_index_in_dim(old, cur - 1, keepdims=False)
     nw = jax.lax.dynamic_index_in_dim(poses_opt, cur - 1, keepdims=False)
     dth = geo.wrap_angle(nw[2] - o[2])
-    c, s = jnp.cos(dth), jnp.sin(dth)
+    s, c = trig.sin_cos(dth)
     R = jnp.stack([jnp.stack([c, -s]), jnp.stack([s, c])])
 
     # map: optimized poses on the live prefix, untouched (zero) rows beyond
@@ -443,8 +444,9 @@ def _reanchor_state_device(state, poses_opt):
     n = min(old.shape[0], poses_opt.shape[0])   # trim padding may exceed capacity
     po = jnp.zeros_like(old).at[:n].set(poses_opt[:n])
     mp = jnp.where(live, po, old)
-    cp = jnp.cos(mp[:, 2])[:, None]
-    sp = jnp.sin(mp[:, 2])[:, None]
+    sp_, cp_ = trig.sin_cos(mp[:, 2])
+    cp = cp_[:, None]
+    sp = sp_[:, None]
     local = m.feat_local
     fw = jnp.stack(
         [cp * local[..., 0] - sp * local[..., 1] + mp[:, 0:1],

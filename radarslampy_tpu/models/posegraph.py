@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from radarslampy_tpu.config import SlamConfig
 from radarslampy_tpu.ops import geometry as geo
+from radarslampy_tpu.ops import trig
 
 
 class PoseGraph(NamedTuple):
@@ -46,13 +47,13 @@ def edge_residual(pose_i, pose_j, meas):
     form's error scales with the edge length.
     """
     d = pose_j[:2] - pose_i[:2]
-    ci, si = jnp.cos(pose_i[2]), jnp.sin(pose_i[2])
+    si, ci = trig.sin_cos(pose_i[2])
     rel_x = ci * d[0] + si * d[1]
     rel_y = -si * d[0] + ci * d[1]
     rel_th = pose_j[2] - pose_i[2]
     ex = rel_x - meas[0]
     ey = rel_y - meas[1]
-    cm, sm = jnp.cos(meas[2]), jnp.sin(meas[2])
+    sm, cm = trig.sin_cos(meas[2])
     return jnp.stack(
         [cm * ex + sm * ey, -sm * ex + cm * ey, geo.wrap_angle(rel_th - meas[2])]
     )
@@ -529,7 +530,7 @@ def odometry_graph_from_map(map_poses, cursor, max_edges=None,
 
     pi, pj = map_poses[i], map_poses[j]
     d = pj[:, :2] - pi[:, :2]
-    ci, si = jnp.cos(pi[:, 2]), jnp.sin(pi[:, 2])
+    si, ci = trig.sin_cos(pi[:, 2])
     rel = jnp.stack(
         [
             ci * d[:, 0] + si * d[:, 1],

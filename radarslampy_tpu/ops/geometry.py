@@ -17,6 +17,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from radarslampy_tpu.ops import trig
+
+# All trig below goes through ops/trig.py (accurate f32 sin/cos/atan2): the
+# TPU's native transcendentals are only ~1e-4 accurate, and because the
+# front-end tracks keyframe-relatively that error cancels at constant heading
+# but leaks into measured rotation through turns — the round-4 "drift floor"
+# (see ops/trig.py docstring and DRIFT_ANALYSIS.md).
+
 
 def wrap_angle(theta):
     """Wrap angle(s) to (-pi, pi]  (utils.py:29-33)."""
@@ -25,7 +33,7 @@ def wrap_angle(theta):
 
 def rotation_matrix(theta):
     """2x2 rotation matrix; batched over leading dims (utils.py:36-43)."""
-    c, s = jnp.cos(theta), jnp.sin(theta)
+    s, c = trig.sin_cos(theta)
     return jnp.stack(
         [jnp.stack([c, -s], axis=-1), jnp.stack([s, c], axis=-1)], axis=-2
     )
@@ -34,7 +42,7 @@ def rotation_matrix(theta):
 def pose_to_transform(pose):
     """[..., 3] pose -> [..., 3, 3] homogeneous transform (utils.py:46-72)."""
     x, y, th = pose[..., 0], pose[..., 1], pose[..., 2]
-    c, s = jnp.cos(th), jnp.sin(th)
+    s, c = trig.sin_cos(th)
     zero, one = jnp.zeros_like(x), jnp.ones_like(x)
     rows = [
         jnp.stack([c, -s, x], axis=-1),
@@ -47,7 +55,7 @@ def pose_to_transform(pose):
 def transform_to_pose(T):
     """[..., 3, 3] transform -> [..., 3] pose (utils.py:75-92)."""
     return jnp.stack(
-        [T[..., 0, 2], T[..., 1, 2], jnp.arctan2(T[..., 1, 0], T[..., 0, 0])],
+        [T[..., 0, 2], T[..., 1, 2], trig.atan2(T[..., 1, 0], T[..., 0, 0])],
         axis=-1,
     )
 
@@ -75,7 +83,7 @@ def se2_exp(xi):
     eps = 1e-5
     small = jnp.abs(w) < eps
     ws = jnp.where(small, 1.0, w)  # safe denominator only
-    sw, cw = jnp.sin(ws), jnp.cos(ws)
+    sw, cw = trig.sin_cos(ws)
     a = jnp.where(small, 1.0 - w**2 / 6.0, sw / ws)            # sin(w)/w
     b = jnp.where(small, w / 2.0 - w**3 / 24.0, (1.0 - cw) / ws)  # (1-cos(w))/w
     x = a * vx - b * vy
@@ -92,9 +100,8 @@ def se2_log(T):
     ws = jnp.where(small, 1.0, w)  # safe denominator only
     half_safe = ws / 2.0
     # a = (w/2) * cot(w/2); series: 1 - w^2/12 for small w
-    a = jnp.where(
-        small, 1.0 - w**2 / 12.0, half_safe * jnp.cos(half_safe) / jnp.sin(half_safe)
-    )
+    sh, ch = trig.sin_cos(half_safe)
+    a = jnp.where(small, 1.0 - w**2 / 12.0, half_safe * ch / sh)
     half = w / 2.0
     vx = a * x + half * y
     vy = -half * x + a * y
@@ -137,7 +144,7 @@ def procrustes_masked(src, tgt, weights):
     # cross/dot accumulators of the 2x2 covariance C = sum w b a^T
     dot = jnp.sum(w * (a[:, 0] * b[:, 0] + a[:, 1] * b[:, 1]))
     cross = jnp.sum(w * (a[:, 1] * b[:, 0] - a[:, 0] * b[:, 1]))
-    theta = jnp.arctan2(cross, dot)
+    theta = trig.atan2(cross, dot)
     R = rotation_matrix(theta)
     h = mu_src - R @ mu_tgt
     R = jnp.where(ok, R, jnp.eye(2, dtype=src.dtype))
@@ -148,4 +155,4 @@ def procrustes_masked(src, tgt, weights):
 def rigid_transform_pose(src, tgt, weights):
     """As `procrustes_masked` but returning the [dx, dy, dtheta] pose vector."""
     R, h, ok = procrustes_masked(src, tgt, weights)
-    return jnp.array([h[0], h[1], jnp.arctan2(R[1, 0], R[0, 0])]), ok
+    return jnp.array([h[0], h[1], trig.atan2(R[1, 0], R[0, 0])]), ok

@@ -35,11 +35,12 @@ import jax.numpy as jnp
 
 from radarslampy_tpu.config import SlamConfig
 from radarslampy_tpu.ops import geometry as geo
+from radarslampy_tpu.ops import trig
 
 
 def compute_time_deltas(points, period: float):
     """Per-point scan-time offset from scan angle (motionDistortion.py:107-124)."""
-    angles = jnp.arctan2(-points[..., 1], -points[..., 0])
+    angles = trig.atan2(-points[..., 1], -points[..., 0])
     return period * angles / (2.0 * jnp.pi)
 
 
@@ -50,7 +51,7 @@ def undistort(v, points, period: float, times=None):
         times = compute_time_deltas(points, period)
     disp = v[None, :] * times[:, None]  # [K,3]
     th = disp[:, 2]
-    c, s = jnp.cos(th), jnp.sin(th)
+    s, c = trig.sin_cos(th)
     x = c * points[:, 0] - s * points[:, 1] + disp[:, 0]
     y = s * points[:, 0] + c * points[:, 1] + disp[:, 1]
     return jnp.stack([x, y], axis=-1)
@@ -74,7 +75,7 @@ def relative_velocity(pose_prev, pose_curr, period: float):
     n_valid / sigma_v.
     """
     dp = pose_curr[:2] - pose_prev[:2]
-    c0, s0 = jnp.cos(pose_prev[2]), jnp.sin(pose_prev[2])
+    s0, c0 = trig.sin_cos(pose_prev[2])
     vx = c0 * dp[0] + s0 * dp[1]
     vy = -s0 * dp[0] + c0 * dp[1]
     w = geo.wrap_angle(pose_curr[2] - pose_prev[2])
@@ -87,7 +88,11 @@ def _residuals(params, pose_prev, p_w, p_jt, times, mask, n_valid, info_p, info_
     pose = params[3:]
     und = undistort(v, p_jt, period, times)                    # [K,2]
     # expected observation: R(theta)^T (p_w - t)  == T_wj^-1 p_w
-    c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+    # accurate trig of the FULL heading: this residual meets feat_world
+    # anchored with pose_to_transform's trig — with the platform's ~1e-4
+    # transcendentals the theta-dependent error mismatch between the two is
+    # exactly the turn-proportional drift mechanism (DRIFT_ANALYSIS.md)
+    s, c = trig.sin_cos(pose[2])
     d = p_w - pose[:2]
     expected = jnp.stack([c * d[:, 0] + s * d[:, 1], -s * d[:, 0] + c * d[:, 1]],
                          axis=-1)

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from radarslampy_tpu.config import SlamConfig
+from radarslampy_tpu.ops import trig
 
 # Gaussian blob footprint: must match the host renderer's `half = 4`
 # (fakedata.render_polar_scan) so the two renderers are comparable.
@@ -66,7 +67,10 @@ def render_polar_scan_device(world_pts, world_refl, pose, velocity, key,
 
     pose = jnp.asarray(pose, f32)
     velocity = jnp.asarray(velocity, f32)
-    c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+    # accurate trig throughout (ops/trig.py): the renderer's landmark
+    # placement is the measurement ground truth — platform ~1e-4
+    # transcendentals here would inject pose-correlated scan errors
+    s, c = trig.sin_cos(pose[2])
     d = world_pts.astype(f32) - pose[:2]
     # sensor frame: R(-theta) (world - t)
     local = jnp.stack([c * d[:, 0] + s * d[:, 1],
@@ -74,17 +78,17 @@ def render_polar_scan_device(world_pts, world_refl, pose, velocity, key,
 
     # true motion distortion (inverse of ops.motion.undistort; same math as
     # the host renderer and genFakeData.py:153-180's forward model)
-    angles = jnp.arctan2(-local[:, 1], -local[:, 0])
+    angles = trig.atan2(-local[:, 1], -local[:, 0])
     dt = cfg.scan_period_s * angles / (2.0 * jnp.pi)
     disp = velocity[None, :] * dt[:, None]
     th = disp[:, 2]
-    cth, sth = jnp.cos(th), jnp.sin(th)
+    sth, cth = trig.sin_cos(th)
     px = local[:, 0] - disp[:, 0]
     py = local[:, 1] - disp[:, 1]
     local = jnp.stack([cth * px + sth * py, -sth * px + cth * py], axis=1)
 
     r = jnp.hypot(local[:, 0], local[:, 1]) / f32(cfg.range_resolution_m)
-    phi = jnp.arctan2(local[:, 1], local[:, 0])
+    phi = trig.atan2(local[:, 1], local[:, 0])
     phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
     az = phi / (2 * jnp.pi) * A
 
