@@ -28,6 +28,8 @@ import numpy as np
 
 GT_CSV = "/root/reference/data/full_seq_1/gt/radar_odometry.csv"
 N_FRAMES = 256
+START = 450     # the sequence starts PARKED (~350 stationary frames); trace a
+                # moving, turning segment — drift is turn-proportional
 
 
 def run(tag: str):
@@ -44,7 +46,7 @@ def run(tag: str):
     from radarslampy_tpu.sim import fakedata as fd
 
     cfg = SlamConfig(cart_size=1024, cart_downsample=4)
-    poses_gt = gt_subsequence(GT_CSV, 0, N_FRAMES)
+    poses_gt = gt_subsequence(GT_CSV, START, N_FRAMES)
     rng = np.random.default_rng(0)
     world_pts, world_refl = fd.make_world_corridor(
         rng, poses_gt, cfg.max_range_clip_m, per_scan=80.0)
