@@ -84,6 +84,22 @@ def test_ba_pcg_matches_dense(rng):
     assert abs(float(cost_p) - float(cost_d)) < 0.05 * max(float(cost_d), 1e-3)
 
 
+def test_ba_pcg_sliced_dispatch_matches_unsliced(rng):
+    """BA's host-driven CG slicing (pg_sweeps_per_dispatch) preserves the
+    iterate sequence exactly, mirroring the pose-graph property
+    (VERDICT.md r04 next #5)."""
+    import dataclasses
+
+    p, gt_poses, _ = _make_problem(rng, noise=0.02, pose_noise=0.3)
+    big = dataclasses.replace(CFG, pg_sweeps_per_dispatch=100000)
+    tiny = dataclasses.replace(CFG, pg_sweeps_per_dispatch=4)
+    poses_b, lms_b, cost_b = optimize_ba(p, big, method="pcg")
+    poses_t, lms_t, cost_t = optimize_ba(p, tiny, method="pcg")
+    np.testing.assert_allclose(np.asarray(poses_t), np.asarray(poses_b),
+                               atol=1e-5)
+    np.testing.assert_allclose(float(cost_t), float(cost_b), rtol=1e-5)
+
+
 def test_ba_pcg_scales_past_dense_memory(rng):
     """PCG BA at a scale where the dense reduced system would not fit:
     M=2048 poses, L=12k landmarks, 36k observations — the [M,M,3,3] fill-in
