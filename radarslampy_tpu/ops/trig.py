@@ -85,6 +85,38 @@ def cos(theta):
     return sin_cos(theta)[1]
 
 
+_LN2_HI = 0.693147182464599609375       # float32(ln 2)
+_LN2_LO = -1.904654323148236017e-9      # ln2 - _LN2_HI
+_LOG2E = 1.4426950408889634
+
+
+def exp(x):
+    """Accurate f32 exp: Cody-Waite reduction x = k ln2 + r (|r| <= ln2/2),
+    degree-6 Taylor on r (<1e-8 truncation), scale by 2^k via ldexp.
+
+    Exists for the same reason as `sin_cos`: the platform exp is ~1e-4
+    relative on the TPU, which distorts the device renderer's Gaussian blob
+    profiles asymmetrically in the sub-pixel blob position — measured as
+    the REMAINING platform drift after the trig fix (DRIFT_ANALYSIS.md:
+    identical host-rendered scans track platform-clean, device-rendered
+    ones drift only on the chip)."""
+    x = jnp.asarray(x)
+    dtype = x.dtype
+    k = jnp.round(x * jnp.asarray(_LOG2E, dtype))
+    r = (x - k * jnp.asarray(_LN2_HI, dtype)) - k * jnp.asarray(_LN2_LO, dtype)
+    # exp(r) on |r| <= 0.347: 1 + r(1 + r/2(1 + r/3(1 + r/4(1 + r/5(1 + r/6)))))
+    p = 1.0 + r * (1.0 + r * (1.0 / 2.0) * (
+        1.0 + r * (1.0 / 3.0) * (
+            1.0 + r * (1.0 / 4.0) * (
+                1.0 + r * (1.0 / 5.0) * (1.0 + r * (1.0 / 6.0))
+            )
+        )
+    ))
+    out = jnp.ldexp(p, k.astype(jnp.int32))
+    # underflow guard: very negative args (far Gaussian tails) -> 0
+    return jnp.where(x < -87.0, jnp.zeros_like(p), out).astype(dtype)
+
+
 def atan2(y, x):
     """Accurate f32 atan2: platform arctan2 seed + one Newton step.
 

@@ -106,18 +106,18 @@ def render_polar_scan_device(world_pts, world_refl, pose, velocity, key,
         aa = jnp.arange(A, dtype=f32)
         da = jnp.abs(aa[None, :] - az_s[:, None])
         da = jnp.minimum(da, A - da)                          # azimuth wrap
-        Ga = jnp.exp(-0.5 * (da / az_sigma) ** 2)             # [K, A]
+        Ga = trig.exp(-0.5 * (da / az_sigma) ** 2)            # [K, A]
         Ga = Ga * jnp.where(ok, refl_s, 0.0)[:, None]
         ww = jnp.arange(Wp, dtype=f32)
         dw = ww[None, :] - jnp.clip(r_s, -1e6, 1e6)[:, None]
-        Gr = jnp.exp(-0.5 * (dw / blob_sigma_px) ** 2)        # [K, Wp]
+        Gr = trig.exp(-0.5 * (dw / blob_sigma_px) ** 2)       # [K, Wp]
         img = jnp.matmul(Ga.T, Gr, precision=jax.lax.Precision.HIGHEST)
     else:
         offs = jnp.arange(-_HALF, _HALF + 1, dtype=f32)           # [9]
         a0 = jnp.rint(az_s)
         r0 = jnp.rint(r_s)
-        ga = jnp.exp(-0.5 * ((a0[:, None] + offs - az_s[:, None]) / az_sigma) ** 2)
-        gr = jnp.exp(-0.5 * ((r0[:, None] + offs - r_s[:, None]) / blob_sigma_px) ** 2)
+        ga = trig.exp(-0.5 * ((a0[:, None] + offs - az_s[:, None]) / az_sigma) ** 2)
+        gr = trig.exp(-0.5 * ((r0[:, None] + offs - r_s[:, None]) / blob_sigma_px) ** 2)
         patch = refl_s[:, None, None] * ga[:, :, None] * gr[:, None, :]  # [K,9,9]
         patch = jnp.where(ok[:, None, None], patch, 0.0)
 

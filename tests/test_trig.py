@@ -46,6 +46,18 @@ def test_atan2_edge_cases():
     np.testing.assert_allclose(got, ref, atol=1e-6)
 
 
+def test_exp_accuracy_dense():
+    x = np.linspace(-40.0, 10.0, 200001).astype(np.float32)
+    got = np.asarray(trig.exp(jnp.asarray(x)), np.float64)
+    ref = np.exp(x.astype(np.float64))
+    rel = np.abs(got - ref) / np.maximum(ref, 1e-300)
+    # f32 Horner + reduction rounding tops out ~2e-6 — 50x better than the
+    # platform's ~1e-4, which is what the renderer needs
+    assert float(rel.max()) < 5e-6
+    # far tails underflow cleanly to zero
+    assert float(trig.exp(jnp.float32(-100.0))) == 0.0
+
+
 def test_roundtrip_rotation_compose():
     """Composing 10k small rotations via accurate trig stays within mm-scale
     heading error — the property the drift fix needs (native TPU trig loses
