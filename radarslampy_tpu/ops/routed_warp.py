@@ -55,6 +55,13 @@ class RoutedWarpMaps(NamedTuple):
     cb: jax.Array     # [4, S, S] int32 range-bin column per output pixel
     fa: jax.Array     # [4, S, S] float azimuth fraction per output pixel
     mask: jax.Array   # [4, S, S] bool pass-region ownership (disjoint)
+    # [4, B, S] int32: ra transposed.  The azimuth gather is executed as a
+    # take_along_axis along AXIS 1 of the TRANSPOSED polar operand: on the
+    # current axon TPU runtime an axis-0 take_along_axis lowers to a ~24 ms
+    # slow path while the axis-1 form runs at memory speed (WARP_MICRO_r05:
+    # 51.6 ms vs 25.0 ms against a 28 ms dispatch floor; 16 axis-0 gathers
+    # were 429 of the fused step's 458 ms, PROFILE_r05).
+    ra_t: jax.Array = None
 
 
 def build_routed_warp_maps(cfg: SlamConfig) -> RoutedWarpMaps:
@@ -123,6 +130,7 @@ def build_routed_warp_maps(cfg: SlamConfig) -> RoutedWarpMaps:
         cb=jnp.asarray(cb),
         fa=jnp.asarray(fam),
         mask=jnp.asarray(maskm),
+        ra_t=jnp.asarray(np.ascontiguousarray(ra.transpose(0, 2, 1))),
     )
 
 
@@ -139,17 +147,22 @@ def routed_polar_to_cartesian(polar, maps: RoutedWarpMaps):
     S = maps.cb.shape[-1]
     # range-shifted copy for the r+1 tap (zero pad keeps edge behaviour)
     p_shift = jnp.pad(polar[:, 1:], ((0, 0), (0, 1)))
+    # transposed operands for the azimuth gathers: the axis-1 take_along_axis
+    # form is the one on the fast TPU path (see RoutedWarpMaps.ra_t)
+    polar_t = polar.T          # [B, A]
+    p_shift_t = p_shift.T
 
     out = jnp.zeros((S, S), polar.dtype)
     for p in range(4):
-        ra0 = maps.ra[p]
-        ra1 = (ra0 + 1) % A
         fr = maps.fr[p]
-        # stage A: azimuth gather + in-place range lerp -> parked columns
-        t0 = (1 - fr) * jnp.take_along_axis(polar, ra0, axis=0) + \
-            fr * jnp.take_along_axis(p_shift, ra0, axis=0)
-        t1 = (1 - fr) * jnp.take_along_axis(polar, ra1, axis=0) + \
-            fr * jnp.take_along_axis(p_shift, ra1, axis=0)
+        ra0_t = maps.ra_t[p]                  # [B, S]
+        ra1_t = (ra0_t + 1) % A
+        # stage A: azimuth gather (axis-1 on transposed operands) +
+        # in-place range lerp -> parked columns
+        t0 = (1 - fr) * jnp.take_along_axis(polar_t, ra0_t, axis=1).T + \
+            fr * jnp.take_along_axis(p_shift_t, ra0_t, axis=1).T
+        t1 = (1 - fr) * jnp.take_along_axis(polar_t, ra1_t, axis=1).T + \
+            fr * jnp.take_along_axis(p_shift_t, ra1_t, axis=1).T
         # keep the two stages as separate materialised gathers
         t0, t1 = jax.lax.optimization_barrier((t0, t1))
         # stage B: un-park along the range axis to output pixel order

@@ -43,35 +43,38 @@ def main():
 
     res = {}
 
+    def rec(k, v):
+        res[k] = v
+        print(f"{k}: {v:.3f} ms", flush=True)
+        with open("WARP_MICRO_r05.json", "w") as fj:
+            json.dump(res, fj, indent=2)
+
     # 1. the routed warp, maps as runtime args (the designed fast path)
-    res["routed_warp_ms"] = timeit(
-        jax.jit(routed_polar_to_cartesian), polar, maps)
+    rec("routed_warp_ms", timeit(
+        jax.jit(routed_polar_to_cartesian), polar, maps))
 
     # 2. ONE take_along_axis along axis 0 (the azimuth gather stage)
     ra0 = maps.ra[0]
     f = jax.jit(lambda p, i: jnp.take_along_axis(p, i, axis=0))
-    res["take_along_axis0_ms"] = timeit(f, polar, ra0)
+    rec("take_along_axis0_ms", timeit(f, polar, ra0))
 
     # 3. ONE take_along_axis along axis 1 on the [S, B] intermediate
     t = jnp.asarray(rng.random((cfg.cart_size, B), np.float32))
     cb = maps.cb[0]
     g = jax.jit(lambda p, i: jnp.take_along_axis(p, i, axis=1))
-    res["take_along_axis1_ms"] = timeit(g, t, cb)
+    rec("take_along_axis1_ms", timeit(g, t, cb))
 
     # 4. plain elementwise on same-size arrays (baseline sanity)
     h = jax.jit(lambda p: p * 2.0 + 1.0)
-    res["elementwise_SB_ms"] = timeit(h, t)
+    rec("elementwise_SB_ms", timeit(h, t))
 
-    # 5. naive 2-D warp for reference (ops/grid.py path)
-    from radarslampy_tpu.ops.grid import build_grid_maps, polar_to_cartesian
+    # 5. the warp as called INSIDE slam_step: on the dequantized polar
+    from radarslampy_tpu.models.frontend import _dequantize_polar
 
-    gm = build_grid_maps(cfg)
-    k = jax.jit(polar_to_cartesian)
-    res["naive_warp_ms"] = timeit(k, polar, gm, n=3)
-
-    print(json.dumps(res), flush=True)
-    with open("WARP_MICRO_r05.json", "w") as fj:
-        json.dump(res, fj, indent=2)
+    u8 = jnp.asarray((np.asarray(polar) * 255).astype(np.uint8))
+    m = jax.jit(lambda p, mp: routed_polar_to_cartesian(
+        _dequantize_polar(p), mp))
+    rec("dequant_plus_warp_ms", timeit(m, u8, maps))
 
     # 6. capture TPU renders for the renderer-diff experiment
     import render_diff
