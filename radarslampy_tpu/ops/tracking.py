@@ -25,11 +25,21 @@ from radarslampy_tpu.ops.grid import bilinear_sample_image
 
 
 def _blur_small(img):
-    """5-tap binomial blur, separable (antialias for pyramid downsample)."""
+    """5-tap binomial blur, separable (antialias for pyramid downsample).
+
+    HIGHEST precision: the TPU's default reduced-precision conv path
+    perturbs the coarse pyramid levels that seed the sub-pixel flow; in
+    the fused long-sequence program those perturbations are pose-correlated
+    and integrate (round-5 platform drift elimination chain,
+    DRIFT_ANALYSIS.md).  The blur is 10 MACs/px — precision is free here.
+    """
+    hp = jax.lax.Precision.HIGHEST
     k = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], img.dtype) / 16.0
     x = img[None, None]
-    x = jax.lax.conv_general_dilated(x, k.reshape(1, 1, 1, 5), (1, 1), [(0, 0), (2, 2)])
-    x = jax.lax.conv_general_dilated(x, k.reshape(1, 1, 5, 1), (1, 1), [(2, 2), (0, 0)])
+    x = jax.lax.conv_general_dilated(x, k.reshape(1, 1, 1, 5), (1, 1),
+                                     [(0, 0), (2, 2)], precision=hp)
+    x = jax.lax.conv_general_dilated(x, k.reshape(1, 1, 5, 1), (1, 1),
+                                     [(2, 2), (0, 0)], precision=hp)
     return x[0, 0]
 
 
