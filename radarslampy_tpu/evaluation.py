@@ -154,9 +154,18 @@ def make_eval_chunk(cfg: SlamConfig, noise: float, k_vis: int = 512,
                 # quantize=False is the float A/B for the drift analysis
                 # (u8_exp r04: chunked-u8 15.74 m vs per-frame float 12.13 m
                 # confounded TWO variables — this isolates one)
-                return frontend.slam_step(
-                    s_, quantize_u8(scan) if quantize else scan, maps, cfg
-                )
+                scan_in = quantize_u8(scan) if quantize else scan
+                # Fusion isolation (r05): standalone-compiled, the renderer
+                # is bit-clean CPU-vs-TPU at the u8 boundary
+                # (RENDER_DIFF_r05), yet the fused render->step scan program
+                # drifts 6x worse than the same program fed host-rendered u8
+                # scans (HOSTRENDER_TPU_r05 9.1 m vs 57.6 m at 1100 frames).
+                # The barrier forces XLA to materialise the quantised scan
+                # between the two stages instead of cross-fusing renderer
+                # arithmetic into the step — reproducing, inside one
+                # program, exactly the host-render boundary measured clean.
+                scan_in = jax.lax.optimization_barrier(scan_in)
+                return frontend.slam_step(s_, scan_in, maps, cfg)
 
             def skip(s_):
                 f32 = s_.pose.dtype
@@ -800,7 +809,15 @@ def main(argv=None):
                    help="resume from --ckpt-dir if a compatible checkpoint "
                         "exists (config mismatch refuses)")
     p.add_argument("--out", default=None, help="write a JSON result artifact")
+    p.add_argument("--matmul-precision", default=None,
+                   choices=("bfloat16", "tensorfloat32", "float32", "highest"),
+                   help="override jax_default_matmul_precision for the whole "
+                        "run — diagnostic hammer for TPU reduced-precision "
+                        "drift (pose-critical sites are individually "
+                        "annotated HIGHEST already; this catches stragglers)")
     a = p.parse_args(argv)
+    if a.matmul_precision:
+        jax.config.update("jax_default_matmul_precision", a.matmul_precision)
 
     if a.cpu:
         import jax
