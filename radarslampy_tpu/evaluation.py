@@ -112,7 +112,8 @@ def gt_subsequence(gt_csv: str, start: int, count: int, stride: int = 1):
 
 
 def make_eval_chunk(cfg: SlamConfig, noise: float, k_vis: int = 512,
-                    renderer: str = "max", quantize: bool = True):
+                    renderer: str = "max", quantize: bool = True,
+                    fusion_barrier: bool = True):
     """One jitted program: render F synthetic scans ON DEVICE and run the
     fused SLAM step on each — a chunk dispatch ships only [F,3] GT poses,
     [F,3] velocities, [F] frame ids and a [F] validity mask.
@@ -164,7 +165,8 @@ def make_eval_chunk(cfg: SlamConfig, noise: float, k_vis: int = 512,
                 # between the two stages instead of cross-fusing renderer
                 # arithmetic into the step — reproducing, inside one
                 # program, exactly the host-render boundary measured clean.
-                scan_in = jax.lax.optimization_barrier(scan_in)
+                if fusion_barrier:
+                    scan_in = jax.lax.optimization_barrier(scan_in)
                 return frontend.slam_step(s_, scan_in, maps, cfg)
 
             def skip(s_):
@@ -217,6 +219,7 @@ def evaluate_sequence(
     partial_write=None,
     sync_every: int = 1,
     quantize: bool = True,
+    fusion_barrier: bool = True,
     ckpt_dir: Optional[str] = None,
     ckpt_every: int = 2048,
     resume: bool = False,
@@ -317,7 +320,8 @@ def evaluate_sequence(
         wr = jnp.asarray(world_refl, jnp.float32)
         key = jax.random.PRNGKey(seed)
         chunk = make_eval_chunk(cfg, noise=noise, renderer=renderer,
-                                quantize=quantize)
+                                quantize=quantize,
+                                fusion_barrier=fusion_barrier)
         # one tiny D2H before the loop: the axon remote client's FIRST
         # device fetch after a long async run can wedge indefinitely
         # (observed on the 8.8k-frame run); an early fetch switches the
@@ -809,6 +813,10 @@ def main(argv=None):
                    help="resume from --ckpt-dir if a compatible checkpoint "
                         "exists (config mismatch refuses)")
     p.add_argument("--out", default=None, help="write a JSON result artifact")
+    p.add_argument("--no-fusion-barrier", action="store_true",
+                   help="drop the renderer/step optimization_barrier in the "
+                        "device-render chunk program (the r05 control for "
+                        "the fused-program drift isolation)")
     p.add_argument("--matmul-precision", default=None,
                    choices=("bfloat16", "tensorfloat32", "float32", "highest"),
                    help="override jax_default_matmul_precision for the whole "
@@ -913,6 +921,7 @@ def main(argv=None):
                             partial_write=_write,
                             sync_every=a.sync_every,
                             quantize=not a.no_quantize,
+                            fusion_barrier=not a.no_fusion_barrier,
                             ckpt_dir=a.ckpt_dir,
                             ckpt_every=a.ckpt_every,
                             resume=a.resume)
