@@ -50,6 +50,11 @@ class SlamConfig:
     # ---- tracked feature set ----
     k_max: int = 256                    # padded tracked-feature capacity
     n_features_before_retrack: int = 80 # refill threshold (paper p.4: 80)
+    min_inliers_accept: int = 16        # below this the rigid fit is
+    # unconstrained: coast on the constant-velocity prediction instead of
+    # accepting the measurement (r05 full-seq finding: single frames with
+    # 2-8 inliers produced 8-22 deg heading jumps that re-anchored the
+    # keyframe chain and dominated full-sequence ATE; see DRIFT_ANALYSIS.md)
 
     # ---- KLT tracking (getTransformKLT.py:77-84,343) ----
     klt_window: int = 15                # patch side (odd)

@@ -813,6 +813,9 @@ def main(argv=None):
                    help="resume from --ckpt-dir if a compatible checkpoint "
                         "exists (config mismatch refuses)")
     p.add_argument("--out", default=None, help="write a JSON result artifact")
+    p.add_argument("--min-inliers-accept", type=int, default=None,
+                   help="override cfg.min_inliers_accept (0 disables the "
+                        "degenerate-fit coasting gate — the r05 A/B control)")
     p.add_argument("--no-fusion-barrier", action="store_true",
                    help="drop the renderer/step optimization_barrier in the "
                         "device-render chunk program (the r05 control for "
@@ -838,6 +841,8 @@ def main(argv=None):
         kw["loop_method"] = a.loop_method
     if a.max_keyframes:
         kw["max_keyframes"] = a.max_keyframes
+    if a.min_inliers_accept is not None:
+        kw["min_inliers_accept"] = a.min_inliers_accept
     cfg = SlamConfig(**kw)
     poses = gt_subsequence(a.gt_csv, a.start, a.count, a.stride)
     dist = float(np.sum(np.linalg.norm(np.diff(poses[:, :2], axis=0), axis=1)))

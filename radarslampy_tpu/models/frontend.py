@@ -367,8 +367,28 @@ def slam_step(state: SlamState, polar, maps: FrameMaps, cfg: SlamConfig):
     # ---- motion-distortion LM refinement (RawROAMSystem.py:208-214) ----
     sol = solve_motion(state.pose, state.feat_world, curr_local, pose_init, live, cfg)
     use_sol = sol.ok & fit_ok
-    pose = jnp.where(use_sol, sol.pose, pose_init)
-    velocity = jnp.where(use_sol, sol.velocity, state.velocity)
+    pose_meas = jnp.where(use_sol, sol.pose, pose_init)
+    vel_meas = jnp.where(use_sol, sol.velocity, state.velocity)
+
+    # ---- degenerate-fit gate: coast on constant velocity (r05) ----
+    # Below min_inliers_accept the rigid fit is unconstrained; accepting it
+    # anchors the next keyframe at a garbage pose.  Full-seq evidence
+    # (DRIFT_ANALYSIS.md): frames with 2-8 inliers produced 8-22 deg
+    # single-frame heading jumps that dominated the 9 km ATE, while >99% of
+    # frames tracked at 0.2-0.5% drift.  Dead-reckon one frame instead
+    # (retrack refills features immediately after).
+    Tp = cfg.scan_period_s
+    pose_cv = jnp.stack(
+        [
+            state.pose[0] + (c0 * state.velocity[0] - s0 * state.velocity[1]) * Tp,
+            state.pose[1] + (s0 * state.velocity[0] + c0 * state.velocity[1]) * Tp,
+            state.pose[2] + state.velocity[2] * Tp,
+        ]
+    )
+    confident = n_inliers >= cfg.min_inliers_accept
+    pose = jnp.where(confident, pose_meas, pose_cv)
+    velocity = jnp.where(confident, vel_meas, state.velocity)
+    fit_ok = fit_ok & confident
 
     # ---- keyframe decision (Mapping.py:149-174 + RawROAMSystem.py:250-253) ----
     retrack = n_inliers <= cfg.n_features_before_retrack
